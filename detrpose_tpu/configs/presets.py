@@ -1,0 +1,103 @@
+"""Model-zoo presets (N/S/M/L/X x {coco-17, crowdpose-14}).
+
+Mirrors the reference config deltas (configs/detrpose/detrpose_hgnetv2_{n,s,m,l,x}.py
+on top of include/detrpose_hgnetv2.py). These provide the programmatic factory;
+the executable lazy-config system (core/lazy.py) builds on top of it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Sequence
+
+import jax.numpy as jnp
+
+from ..models import DETRPose, HGNetv2, HybridEncoder, Transformer
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    size: str = "l"
+    num_body_points: int = 17
+    num_classes: int = 2
+    num_queries: int = 60
+    eval_spatial_size: Sequence[int] = (640, 640)  # (h, w)
+    # backbone
+    backbone_name: str = "B4"
+    use_lab: bool = False
+    return_idx: Sequence[int] = (1, 2, 3)
+    # encoder
+    in_channels: Sequence[int] = (512, 1024, 2048)
+    feat_strides: Sequence[int] = (8, 16, 32)
+    n_levels: int = 3
+    hidden_dim: int = 256
+    enc_dim_feedforward: int = 1024
+    use_encoder_idx: Sequence[int] = (2,)
+    expansion: float = 1.0
+    depth_mult: float = 1.0
+    # transformer
+    num_decoder_layers: int = 6
+    dec_dim_feedforward: int = 1024
+    dec_n_points: int = 4
+    reg_max: int = 32
+    reg_scale: float = 4.0
+    # runtime
+    dtype: Any = jnp.float32
+
+
+_SIZE_OVERRIDES = {
+    "n": dict(
+        backbone_name="B0", use_lab=True, return_idx=(2, 3),
+        in_channels=(512, 1024), feat_strides=(16, 32), n_levels=2,
+        use_encoder_idx=(1,), depth_mult=0.5, expansion=0.34,
+        hidden_dim=128, enc_dim_feedforward=512,
+        num_decoder_layers=3, dec_dim_feedforward=512, dec_n_points=6,
+    ),
+    "s": dict(
+        backbone_name="B0", use_lab=True,
+        in_channels=(256, 512, 1024), depth_mult=0.34, expansion=0.5,
+        num_decoder_layers=3,
+    ),
+    "m": dict(
+        backbone_name="B2", use_lab=True,
+        in_channels=(384, 768, 1536), depth_mult=0.67,
+        num_decoder_layers=4,
+    ),
+    "l": dict(),
+    "x": dict(
+        backbone_name="B5",
+        hidden_dim=384, enc_dim_feedforward=2048, reg_scale=8.0,
+    ),
+}
+
+
+def model_config(size: str = "l", num_body_points: int = 17, **overrides) -> ModelConfig:
+    cfg = ModelConfig(size=size, num_body_points=num_body_points)
+    for k, v in _SIZE_OVERRIDES[size].items():
+        setattr(cfg, k, v)
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
+    backbone = HGNetv2(
+        arch=cfg.backbone_name, use_lab=cfg.use_lab, return_idx=tuple(cfg.return_idx),
+        dtype=cfg.dtype,
+    )
+    encoder = HybridEncoder(
+        in_channels=tuple(cfg.in_channels), feat_strides=tuple(cfg.feat_strides),
+        n_levels=cfg.n_levels, hidden_dim=cfg.hidden_dim,
+        dim_feedforward=cfg.enc_dim_feedforward,
+        use_encoder_idx=tuple(cfg.use_encoder_idx),
+        expansion=cfg.expansion, depth_mult=cfg.depth_mult,
+        deploy=deploy, dtype=cfg.dtype,
+    )
+    transformer = Transformer(
+        hidden_dim=cfg.hidden_dim, num_queries=cfg.num_queries,
+        num_decoder_layers=cfg.num_decoder_layers,
+        dim_feedforward=cfg.dec_dim_feedforward,
+        num_feature_levels=cfg.n_levels, dec_n_points=cfg.dec_n_points,
+        num_classes=cfg.num_classes, num_body_points=cfg.num_body_points,
+        reg_max=cfg.reg_max, reg_scale=cfg.reg_scale, dtype=cfg.dtype,
+    )
+    return DETRPose(backbone=backbone, encoder=encoder, transformer=transformer)

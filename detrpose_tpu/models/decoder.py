@@ -1,0 +1,294 @@
+"""Deformable pose decoder: MSDeformAttn, decoder layer, LQE, decoder stack.
+
+Reference semantics: src/models/detrpose/transformer.py:263-925 and
+ms_deform_attn.py:196-513 (default branch: no modulation / grid attention /
+energy — those are config-gated extras, see transformer.py here for the flags).
+
+Key reference subtlety reproduced exactly: ``with_pos_embed`` adds the keypoint
+query position embedding *in place* (transformer.py:359-370), so the positional
+term persists into the attention value, the residual stream, and the gateway
+input. We replicate that functionally with ``x.at[:, :, 1:].add(pos)``.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import MLP, Gate, MultiHeadAttention, get_activation
+from ..ops.ms_deform_attn import ms_deform_attn
+from ..ops.grid_sample import bilinear_grid_sample
+from ..ops.fdr import distance2pose, integral
+from ..ops.misc import inverse_sigmoid
+from ..ops.pos_embed import sine_embedding_2d
+
+
+# Focal-style prior for classification bias (transformer.py:1074-1076).
+_class_bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+
+
+def _msda_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Circle-pattern init of sampling-offset biases (ms_deform_attn.py:293-312).
+
+    The reference zeroes the bias when n_points % 4 != 0 (e.g. the N model's
+    dec_n_points=6).
+    """
+    if n_points % 4 != 0:
+        return nn.initializers.zeros
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (nH, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    flat = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == flat.shape, (shape, flat.shape)
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable cross-attention (default branch).
+
+    Reference: ms_deform_attn.py:196-444. There is no value/output projection in
+    the reference module — the concatenated weighted samples ARE the output.
+    """
+    d_model: int = 256
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,                 # (B, Lq, C)
+        reference_points: jax.Array,      # (B, Lq, 2), normalized [0, 1]
+        value_levels: Sequence[jax.Array],  # per level (B, H, W, nH, d_head)
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jax.Array:
+        B, Lq, _ = query.shape
+        nH, nL, nP = self.n_heads, self.n_levels, self.n_points
+
+        offsets = nn.Dense(
+            nH * nL * nP * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_msda_offset_bias_init(nH, nL, nP),
+            dtype=self.dtype, name="sampling_offsets",
+        )(query).reshape(B, Lq, nH, nL, nP, 2)
+
+        aw = nn.Dense(
+            nH * nL * nP,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="attention_weights",
+        )(query).reshape(B, Lq, nH, nL * nP)
+        aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1).astype(query.dtype)
+        aw = aw.reshape(B, Lq, nH, nL, nP)
+
+        # loc = ref + offset / (W_l, H_l)  (ms_deform_attn.py:412-416)
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32
+        ).reshape(1, 1, 1, nL, 1, 2)
+        loc = reference_points[:, :, None, None, None, :] + offsets / normalizer
+        return ms_deform_attn(value_levels, loc, aw)
+
+
+class LQE(nn.Module):
+    """Localization-Quality-Estimation head. Reference: transformer.py:263-288."""
+    topk: int = 4
+    hidden_dim: int = 256
+    num_layers: int = 2
+    num_body_points: int = 17
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, scores: jax.Array, pred_poses: jax.Array, feat: jax.Array) -> jax.Array:
+        # scores: (B, L, num_classes); pred_poses: (B, L, K, 2) in [0,1];
+        # feat: (B, H, W, C) — the stride-8 encoder level.
+        B, L = pred_poses.shape[:2]
+        grid = 2.0 * pred_poses - 1.0
+        sampled = bilinear_grid_sample(feat, grid)  # (B, L, K, C)
+        topv = jax.lax.top_k(sampled, self.topk)[0]  # (B, L, K, topk)
+        stat = jnp.concatenate([topv, topv.mean(axis=-1, keepdims=True)], axis=-1)
+        q = MLP(self.hidden_dim, 1, self.num_layers, dtype=self.dtype,
+                name="reg_conf")(stat.reshape(B, L, -1))
+        return scores + q
+
+
+class DeformableDecoderLayer(nn.Module):
+    """One decoder layer: within-instance MHSA over the 1+K tokens, across-
+    instance MHSA over queries, deformable cross-attn, gated fusion, FFN.
+
+    Reference: transformer.py:291-442 (default flags).
+    """
+    d_model: int = 256
+    d_ffn: int = 1024
+    activation: str = "relu"
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jax.Array,                   # (B, nq, 1+K, d)
+        query_pos: jax.Array,             # (B, nq, K, d)
+        reference_points: jax.Array,      # (B, nq, 1+K, 2)
+        value_levels: Sequence[jax.Array],
+        spatial_shapes: Sequence[Tuple[int, int]],
+        attn_mask: Optional[jax.Array] = None,  # (nq, nq) bool, True = blocked
+    ) -> jax.Array:
+        B, nq, T, d = tgt.shape  # T = 1 + K
+
+        # -- within-instance self-attention (pos added in place, see module doc)
+        x = tgt.at[:, :, 1:].add(query_pos)
+        xf = x.reshape(B * nq, T, d)
+        a = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
+                               name="within_attn")(xf, xf, xf)
+        x = x + a.reshape(B, nq, T, d)
+        x = nn.LayerNorm(dtype=self.dtype, name="within_norm")(x)
+
+        # -- across-instance self-attention per token slot
+        xt = x.transpose(0, 2, 1, 3).reshape(B * T, nq, d)
+        a = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
+                               name="across_attn")(xt, xt, xt, attn_mask)
+        xt = xt + a
+        xt = nn.LayerNorm(dtype=self.dtype, name="across_norm")(xt)
+        x = xt.reshape(B, T, nq, d).transpose(0, 2, 1, 3)
+
+        # -- deformable cross-attention (pos added in place again)
+        x = x.at[:, :, 1:].add(query_pos)
+        q = x.reshape(B, nq * T, d)
+        refs = reference_points.reshape(B, nq * T, 2)
+        ca = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                          dtype=self.dtype, name="cross_attn")(
+            q, refs, value_levels, spatial_shapes)
+        x = Gate(self.d_model, dtype=self.dtype, name="gateway")(
+            x, ca.reshape(B, nq, T, d))
+
+        # -- FFN
+        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(x)
+        ff = get_activation(self.activation)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack with FDR iterative keypoint refinement.
+
+    Reference: transformer.py:446-925. Training returns per-layer outputs for
+    deep supervision; eval short-circuits to the final layer's heads.
+    """
+    num_layers: int = 6
+    hidden_dim: int = 256
+    num_body_points: int = 17
+    d_ffn: int = 1024
+    activation: str = "relu"
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+    num_classes: int = 2
+    reg_max: int = 32
+    reg_scale: float = 4.0
+    lqe_topk: int = 4
+    lqe_hidden: int = 256
+    lqe_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jax.Array,                   # (B, nq, 1+K, d)
+        refpoints_sigmoid: jax.Array,     # (B, nq, 1+K, 2)
+        value_levels: Sequence[jax.Array],
+        spatial_shapes: Sequence[Tuple[int, int]],
+        feat_lqe: jax.Array,              # (B, H8, W8, C)
+        project: jax.Array,               # (reg_max+1,) W(n)
+        attn_mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ):
+        K = self.num_body_points
+        out = tgt
+        refpoint_pose = refpoints_sigmoid
+        output_pose_detach = 0.0
+        pred_corners_undetach = 0.0
+        ref_pose_initial = None
+        pre_poses = pre_scores = None
+
+        dec_poses, dec_logits, dec_corners, dec_refs = [], [], [], []
+
+        # Shared across layers (reference: one head, transformer.py:480).
+        ref_point_head = MLP(self.hidden_dim, self.hidden_dim, 2, dtype=self.dtype,
+                             name="half_pose_ref_point_head")
+
+        eval_idx = self.num_layers - 1
+        for layer_id in range(self.num_layers):
+            ref_only_pose = refpoint_pose[:, :, 1:]  # (B, nq, K, 2)
+            sine = sine_embedding_2d(ref_only_pose, self.hidden_dim).astype(out.dtype)
+            query_pos = ref_point_head(sine)
+
+            out = DeformableDecoderLayer(
+                self.hidden_dim, self.d_ffn, self.activation, self.n_levels,
+                self.n_heads, self.n_points, dtype=self.dtype,
+                name=f"layers_{layer_id}",
+            )(out, query_pos, refpoint_pose, value_levels, spatial_shapes, attn_mask)
+
+            output_pose = out[:, :, 1:]      # (B, nq, K, d)
+            output_instance = out[:, :, 0]   # (B, nq, d)
+
+            if layer_id == 0:
+                pre = MLP(self.hidden_dim, 2, 3, dtype=self.dtype,
+                          name="pre_pose_head")(output_pose)
+                pre_poses = jax.nn.sigmoid(pre + inverse_sigmoid(ref_only_pose))
+                pre_scores = nn.Dense(
+                    self.num_classes, bias_init=_class_bias_init,
+                    dtype=self.dtype, name="class_head_0")(output_instance)
+                ref_pose_initial = jax.lax.stop_gradient(pre_poses)
+
+            corners = MLP(self.hidden_dim, 2 * (self.reg_max + 1), 3,
+                          dtype=self.dtype, name=f"pose_head_{layer_id}")(
+                output_pose + output_pose_detach) + pred_corners_undetach
+            kpts = distance2pose(ref_pose_initial, integral(corners, project),
+                                 self.reg_scale)           # (B, nq, K, 2)
+            center = jnp.mean(kpts, axis=2, keepdims=True)
+            refpoint_pose = jnp.concatenate([center, kpts], axis=2)
+
+            if train or layer_id == eval_idx:
+                if layer_id == 0:
+                    score = pre_scores
+                else:
+                    score = nn.Dense(
+                        self.num_classes, bias_init=_class_bias_init,
+                        dtype=self.dtype, name=f"class_head_{layer_id}")(output_instance)
+                logit = LQE(self.lqe_topk, self.lqe_hidden, self.lqe_layers, K,
+                            dtype=self.dtype, name=f"lqe_head_{layer_id}")(
+                    score, kpts, feat_lqe)
+                dec_logits.append(logit)
+                dec_poses.append(kpts)
+                dec_corners.append(corners)
+                dec_refs.append(ref_pose_initial)
+                if not train:
+                    break
+
+            pred_corners_undetach = corners
+            if train:
+                refpoint_pose = jax.lax.stop_gradient(refpoint_pose)
+                output_pose_detach = jax.lax.stop_gradient(output_pose)
+            else:
+                output_pose_detach = output_pose
+
+        return (
+            jnp.stack(dec_poses),     # (L', B, nq, K, 2)
+            jnp.stack(dec_logits),    # (L', B, nq, num_classes)
+            jnp.stack(dec_corners),   # (L', B, nq, K, 2*(reg_max+1))
+            jnp.stack(dec_refs),      # (L', B, nq, K, 2)
+            pre_poses,                # (B, nq, K, 2)
+            pre_scores,               # (B, nq, num_classes)
+        )
