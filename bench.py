@@ -1,0 +1,83 @@
+"""Benchmark harness: DETRPose-L batched inference throughput on TPU.
+
+Protocol mirrors the reference (tools/benchmark/torch_benchmark.py:34-51):
+warmup then timed iterations; we report steady-state images/sec on one chip at
+batch 32, 640x640, bf16 activations — the serving configuration from
+BASELINE.json. vs_baseline compares against the reference's TensorRT V100
+number for DETRPose-L (9.50 ms/img => 105.3 images/sec, README.md:84).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detrpose_tpu.configs import model_config, build_model
+    from detrpose_tpu.models import postprocess
+
+    size = os.environ.get("BENCH_MODEL", "l")
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    res = int(os.environ.get("BENCH_RES", "640"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    cfg = model_config(size, dtype=jnp.bfloat16)
+    model = build_model(cfg)
+
+    rng = np.random.default_rng(0)
+    # Rotate distinct inputs so no call can be elided or cached.
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (batch, res, res, 3)).astype(np.float32))
+        for _ in range(4)
+    ]
+    x = xs[0]
+    ts = jnp.full((batch, 2), float(res), jnp.float32)
+
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)), train=False)
+    )()
+    jax.block_until_ready(variables)
+
+    @jax.jit
+    def fwd(v, img, sizes):
+        out = model.apply(v, img, train=False)
+        return postprocess(out, sizes, num_body_points=cfg.num_body_points)
+
+    t_compile = time.time()
+    out = fwd(variables, x, ts)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t_compile
+
+    for i in range(warmup):
+        out = fwd(variables, xs[i % len(xs)], ts)
+    jax.block_until_ready(out)
+
+    outs = []
+    t0 = time.time()
+    for i in range(iters):
+        outs.append(fwd(variables, xs[i % len(xs)], ts)[0])
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    ips = batch * iters / dt
+    trt_ips = 1000.0 / 9.50  # reference DETRPose-L TRT fp16 V100 (README.md:84)
+    print(json.dumps({
+        "metric": f"detrpose_{size}_bs{batch}_{res}px_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / trt_ips, 3),
+    }))
+    print(f"# compile={compile_s:.1f}s steady={dt / iters * 1000:.2f}ms/batch "
+          f"({dt / iters / batch * 1000:.3f}ms/img)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

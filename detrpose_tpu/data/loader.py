@@ -1,0 +1,116 @@
+"""Batch assembly: host-side loader turning dataset samples into device-ready
+padded arrays (images NHWC float32 in [0,1], padded targets, optional CDN).
+
+Replaces the reference's torch DataLoader + BatchImageCollateFunction
+(src/data/dataloader.py): multi-scale collate is a per-batch random choice from
+`generate_scales` until `stop_epoch` (dataloader.py:56-61, 97-106); each scale
+is one jit cache entry on TPU.
+"""
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .coco import normalize_target, pad_targets
+from ..train.cdn import build_cdn, CDNConfig
+
+
+def generate_scales(base_size: int, base_size_repeat: int) -> List[int]:
+    """Reference: src/data/dataloader.py:56-61 (±25% in steps of 32)."""
+    scale_repeat = (base_size - int(base_size * 0.75 / 32) * 32) // 32
+    scales = [int(base_size * 0.75 / 32) * 32 + i * 32 for i in range(scale_repeat)]
+    scales += [base_size] * base_size_repeat
+    scales += [int(base_size * 1.25 / 32) * 32 - i * 32 for i in range(scale_repeat)]
+    return scales
+
+
+class KeypointLoader:
+    """Simple epoch-based loader (single-process; swappable for grain)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_keypoints: int = 17,
+        train: bool = False,
+        max_gt: int = 32,
+        base_size: int = 640,
+        base_size_repeat: Optional[int] = None,
+        multiscale_stop_epoch: int = 48,
+        with_cdn: bool = True,
+        num_queries: int = 60,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.ds = dataset
+        self.bs = batch_size
+        self.K = num_keypoints
+        self.train = train
+        self.max_gt = max_gt
+        self.base_size = base_size
+        self.scales = (
+            generate_scales(base_size, base_size_repeat)
+            if (train and base_size_repeat) else None
+        )
+        self.multiscale_stop_epoch = multiscale_stop_epoch
+        self.with_cdn = with_cdn and train
+        self.num_queries = num_queries
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        if hasattr(self.ds, "transforms") and hasattr(self.ds.transforms, "set_epoch"):
+            self.ds.transforms.set_epoch(epoch)
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = random.Random(self.seed + self.epoch)
+        nprng = np.random.default_rng(self.seed + self.epoch)
+        order = list(range(len(self.ds)))
+        if self.train:
+            rng.shuffle(order)
+        for start in range(0, len(order) - (self.bs - 1 if self.drop_last else 0), self.bs):
+            idxs = order[start:start + self.bs]
+            imgs, tgts = [], []
+            for i in idxs:
+                img, t = self.ds[i]
+                imgs.append(np.asarray(img, np.float32) / 255.0)
+                h, w = imgs[-1].shape[:2]
+                tgts.append(normalize_target(t, w, h, self.K))
+            images = np.stack(imgs)  # (B, H, W, 3)
+
+            # per-batch multi-scale resize (train only, before stop_epoch)
+            if self.scales and self.epoch < self.multiscale_stop_epoch:
+                s = rng.choice(self.scales)
+                if s != images.shape[1]:
+                    images = _resize_batch(images, s)
+
+            batch = {
+                "images": images,
+                "targets": pad_targets(tgts, self.max_gt),
+                "image_ids": np.asarray([t["image_id"] for t in tgts]),
+                "orig_sizes": np.stack([t["orig_size"] for t in tgts]),
+            }
+            if self.with_cdn:
+                dn = build_cdn(batch["targets"], self.num_queries, self.K,
+                               images.shape[1:3], nprng)
+                if dn is not None:
+                    batch["dn"] = dn
+            yield batch
+
+
+def _resize_batch(images: np.ndarray, size: int) -> np.ndarray:
+    from PIL import Image
+
+    out = np.empty((images.shape[0], size, size, 3), np.float32)
+    for i, im in enumerate(images):
+        pil = Image.fromarray((im * 255).astype(np.uint8))
+        out[i] = np.asarray(pil.resize((size, size), Image.BILINEAR), np.float32) / 255.0
+    return out

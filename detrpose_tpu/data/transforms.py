@@ -1,0 +1,220 @@
+"""Keypoint-aware data augmentations (host-side, numpy + PIL).
+
+Reference semantics: src/data/transforms.py (COCO 17-kpt flip pairs :77-101,
+crop visibility zeroing :47-73, zoom-out padding :195-208, random box crop
+:211-231, mosaic :314-389, epoch-policy container src/data/container.py).
+
+All transforms are functions (image, target) -> (image, target) operating in
+pixel space; `Normalize`-equivalent conversion to the network layout happens in
+data/coco.normalize_target at batch assembly.
+"""
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+FLIP_PAIRS_17 = [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16)]
+FLIP_PAIRS_14 = [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11)]
+
+
+def hflip(img: Image.Image, target: Dict, num_keypoints: int = 17):
+    """Horizontal flip with left/right keypoint swapping (transforms.py:77-101)."""
+    w, _ = img.size
+    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    t = dict(target)
+    boxes = t["boxes"].copy()
+    if len(boxes):
+        boxes = boxes[:, [2, 1, 0, 3]] * np.asarray([-1, 1, -1, 1]) + np.asarray([w, 0, w, 0])
+        t["boxes"] = boxes.astype(np.float32)
+    kp = t["keypoints"].copy()
+    if len(kp):
+        kp[:, :, 0] = w - kp[:, :, 0]
+        kp[kp[:, :, 2] == 0] = 0  # unannotated stay zero
+        pairs = FLIP_PAIRS_17 if num_keypoints == 17 else FLIP_PAIRS_14
+        for a, b in pairs:
+            kp[:, [a, b]] = kp[:, [b, a]]
+        t["keypoints"] = kp
+    return img, t
+
+
+def resize(img: Image.Image, target: Dict, size: Tuple[int, int]):
+    """Resize to exact (w, h)."""
+    w0, h0 = img.size
+    w1, h1 = size
+    img = img.resize((w1, h1), Image.BILINEAR)
+    sx, sy = w1 / w0, h1 / h0
+    t = dict(target)
+    if len(t["boxes"]):
+        t["boxes"] = (t["boxes"] * np.asarray([sx, sy, sx, sy])).astype(np.float32)
+    if len(t["keypoints"]):
+        kp = t["keypoints"].copy()
+        kp[:, :, 0] *= sx
+        kp[:, :, 1] *= sy
+        t["keypoints"] = kp
+    t["area"] = (t["area"] * sx * sy).astype(np.float32)
+    t["size"] = np.asarray([h1, w1], np.float32)
+    return img, t
+
+
+def random_zoom_out(img: Image.Image, target: Dict, rng: random.Random,
+                    max_ratio: float = 2.0, fill=(123, 117, 104)):
+    """Place the image on a larger canvas (transforms.py:195-208)."""
+    w, h = img.size
+    r = rng.uniform(1.0, max_ratio)
+    nw, nh = int(w * r), int(h * r)
+    left = rng.randint(0, nw - w)
+    top = rng.randint(0, nh - h)
+    canvas = Image.new("RGB", (nw, nh), fill)
+    canvas.paste(img, (left, top))
+    t = dict(target)
+    if len(t["boxes"]):
+        t["boxes"] = (t["boxes"] + np.asarray([left, top, left, top])).astype(np.float32)
+    if len(t["keypoints"]):
+        kp = t["keypoints"].copy()
+        vis = kp[:, :, 2] > 0
+        kp[:, :, 0] += left * vis
+        kp[:, :, 1] += top * vis
+        t["keypoints"] = kp
+    return canvas, t
+
+
+def random_crop(img: Image.Image, target: Dict, rng: random.Random):
+    """Crop to a random GT box region (transforms.py:211-231), zeroing
+    out-of-crop keypoints and dropping invisible instances (:47-73)."""
+    if len(target["boxes"]) == 0:
+        return img, target
+    i = rng.randrange(len(target["boxes"]))
+    x0, y0, x1, y1 = target["boxes"][i]
+    w, h = img.size
+    x0, y0 = int(max(0, x0)), int(max(0, y0))
+    x1, y1 = int(min(w, x1)), int(min(h, y1))
+    if x1 - x0 < 8 or y1 - y0 < 8:
+        return img, target
+    img = img.crop((x0, y0, x1, y1))
+    cw, ch = x1 - x0, y1 - y0
+    t = dict(target)
+    boxes = t["boxes"] - np.asarray([x0, y0, x0, y0], np.float32)
+    boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+    boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+    kp = t["keypoints"].copy()
+    keep = np.ones(len(boxes), bool)
+    if len(kp):
+        kp[:, :, 0] -= x0
+        kp[:, :, 1] -= y0
+        inside = ((kp[:, :, 0] >= 0) & (kp[:, :, 0] < cw)
+                  & (kp[:, :, 1] >= 0) & (kp[:, :, 1] < ch))
+        kp[:, :, 2] = kp[:, :, 2] * inside
+        kp[kp[:, :, 2] == 0] = 0
+        keep = kp[:, :, 2].sum(1) > 0
+    t["boxes"] = boxes[keep].astype(np.float32)
+    t["keypoints"] = kp[keep] if len(kp) else kp
+    t["labels"] = t["labels"][keep]
+    t["area"] = t["area"][keep]
+    return img, t
+
+
+def color_jitter(img: Image.Image, rng: random.Random, brightness=0.4,
+                 contrast=0.4, saturation=0.4):
+    for enh, mag in [(ImageEnhance.Brightness, brightness),
+                     (ImageEnhance.Contrast, contrast),
+                     (ImageEnhance.Color, saturation)]:
+        f = rng.uniform(1 - mag, 1 + mag)
+        img = enh(img).enhance(f)
+    return img
+
+
+def mosaic(dataset, idx: int, rng: random.Random, out_size: int = 640,
+           num_keypoints: int = 17):
+    """2x2 mosaic of 4 samples (transforms.py:314-389)."""
+    cell = out_size // 2
+    ids = [idx] + [rng.randrange(len(dataset)) for _ in range(3)]
+    canvas = Image.new("RGB", (out_size, out_size))
+    all_t: Dict[str, List] = {"boxes": [], "labels": [], "keypoints": [], "area": []}
+    merged = None
+    for i, sid in enumerate(ids):
+        img, t = dataset.load_raw(sid)
+        img, t = resize(img, t, (cell, cell))
+        ox, oy = (i % 2) * cell, (i // 2) * cell
+        canvas.paste(img, (ox, oy))
+        if merged is None:
+            merged = {k: t[k] for k in ("image_id", "orig_size")}
+        if len(t["boxes"]):
+            all_t["boxes"].append(t["boxes"] + np.asarray([ox, oy, ox, oy], np.float32))
+            all_t["labels"].append(t["labels"])
+            kp = t["keypoints"].copy()
+            vis = kp[:, :, 2] > 0
+            kp[:, :, 0] += ox * vis
+            kp[:, :, 1] += oy * vis
+            all_t["keypoints"].append(kp)
+            all_t["area"].append(t["area"])
+    K = num_keypoints
+    target = {
+        "image_id": merged["image_id"],
+        "orig_size": np.asarray([out_size, out_size], np.float32),
+        "size": np.asarray([out_size, out_size], np.float32),
+        "boxes": (np.concatenate(all_t["boxes"]) if all_t["boxes"]
+                  else np.zeros((0, 4), np.float32)),
+        "labels": (np.concatenate(all_t["labels"]) if all_t["labels"]
+                   else np.zeros((0,), np.int32)),
+        "keypoints": (np.concatenate(all_t["keypoints"]) if all_t["keypoints"]
+                      else np.zeros((0, K, 3), np.float32)),
+        "area": (np.concatenate(all_t["area"]) if all_t["area"]
+                 else np.zeros((0,), np.float32)),
+    }
+    return canvas, target
+
+
+class TrainTransforms:
+    """Epoch-aware augmentation policy (reference: src/data/container.py).
+
+    policy_epochs = (mosaic_until_warmup, aug_stop_1, aug_stop_2): mosaic and
+    crop/zoom-out are mutually exclusive per sample; all heavy augs switch off
+    after the policy window, mirroring `stop_epoch` behavior.
+    """
+
+    def __init__(self, out_size: int = 640, num_keypoints: int = 17,
+                 policy_epochs: Sequence[int] = (5, 29, 48), seed: int = 0,
+                 use_mosaic: bool = True):
+        self.out_size = out_size
+        self.K = num_keypoints
+        self.policy_epochs = policy_epochs
+        self.epoch = 0
+        self.rng = random.Random(seed)
+        self.use_mosaic = use_mosaic
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __call__(self, img, target, dataset=None):
+        rng = self.rng
+        e = self.epoch
+        p0, p1, p2 = self.policy_epochs
+        heavy_on = p0 <= e < p2
+
+        if heavy_on and rng.random() < 0.5 and self.use_mosaic and dataset is not None and e < p1:
+            img, target = mosaic(dataset, dataset.ids.index(target["image_id"]),
+                                 rng, self.out_size, self.K)
+        elif heavy_on:
+            if rng.random() < 0.5:
+                img, target = random_zoom_out(img, target, rng)
+            if rng.random() < 0.8:
+                img, target = random_crop(img, target, rng)
+
+        if rng.random() < 0.5:
+            img, target = hflip(img, target, self.K)
+        img = color_jitter(img, rng)
+        img, target = resize(img, target, (self.out_size, self.out_size))
+        return img, target
+
+
+class EvalTransforms:
+    """Deterministic eval path: resize to the eval resolution."""
+
+    def __init__(self, out_size: int = 640):
+        self.out_size = out_size
+
+    def __call__(self, img, target, dataset=None):
+        return resize(img, target, (self.out_size, self.out_size))

@@ -152,14 +152,14 @@ class DeformableDecoderLayer(nn.Module):
         a = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
                                name="within_attn")(xf, xf, xf)
         x = x + a.reshape(B, nq, T, d)
-        x = nn.LayerNorm(dtype=self.dtype, name="within_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="within_norm")(x)
 
         # -- across-instance self-attention per token slot
         xt = x.transpose(0, 2, 1, 3).reshape(B * T, nq, d)
         a = MultiHeadAttention(self.d_model, self.n_heads, dtype=self.dtype,
                                name="across_attn")(xt, xt, xt, attn_mask)
         xt = xt + a
-        xt = nn.LayerNorm(dtype=self.dtype, name="across_norm")(xt)
+        xt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="across_norm")(xt)
         x = xt.reshape(B, T, nq, d).transpose(0, 2, 1, 3)
 
         # -- deformable cross-attention (pos added in place again)
@@ -176,7 +176,7 @@ class DeformableDecoderLayer(nn.Module):
         ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(x)
         ff = get_activation(self.activation)(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + ff)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
         return x
 
 

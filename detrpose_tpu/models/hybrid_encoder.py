@@ -43,11 +43,11 @@ class TransformerEncoderLayer(nn.Module):
         q = k = src if pos_embed is None else src + pos_embed
         attn = MultiHeadAttention(self.d_model, self.nhead, dtype=self.dtype,
                                   name="self_attn")(q, k, src)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn)
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
         ff = get_activation(self.activation)(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + ff)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + ff)
 
 
 class HybridEncoder(nn.Module):

@@ -354,7 +354,7 @@ class Gate(nn.Module):
         )
         g = jax.nn.sigmoid(g)
         g1, g2 = jnp.split(g, 2, axis=-1)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(g1 * x1 + g2 * x2)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(g1 * x1 + g2 * x2)
 
 
 class RMSNorm(nn.Module):

@@ -80,7 +80,7 @@ class Transformer(nn.Module):
 
         # -- two-stage query selection
         output_memory = nn.Dense(hd, dtype=self.dtype, name="enc_output")(output_memory)
-        output_memory = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")(output_memory)
+        output_memory = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_output_norm")(output_memory)
         enc_class = nn.Dense(
             self.num_classes,
             bias_init=nn.initializers.constant(-np.log((1 - 0.01) / 0.01)),
@@ -111,17 +111,25 @@ class Transformer(nn.Module):
         tgt_embed = self.param("tgt_embed", xavier, (nq, hd))
         keypoint_embedding = self.param("keypoint_embedding", xavier, (K, hd))
         instance_embedding = self.param("instance_embedding", xavier, (1, hd))
+        # CDN denoising embeddings (train path; reference: transformer.py:1057-1058).
+        label_enc = self.param("label_enc", xavier, (80 + 1, hd))
+        pose_enc = self.param("pose_enc", xavier, (K, hd))
         tgt = jnp.broadcast_to(tgt_embed[None, :, None, :], (B, nq, 1, hd))
         tgt_pose = keypoint_embedding[None, None] + tgt           # (B, nq, K, hd)
         tgt_global = jnp.broadcast_to(instance_embedding[None, None], (B, nq, 1, hd))
         tgt_tokens = jnp.concatenate([tgt_global, tgt_pose], axis=2).astype(self.dtype)
 
-        # -- denoising queries (training; built host-side, see train/cdn.py)
+        # -- denoising queries (training; noise built host-side in train/cdn.py,
+        #    embeddings looked up in-graph so label_enc/pose_enc receive grads)
         attn_mask = None
         if train and dn is not None:
-            tgt_tokens = jnp.concatenate([dn["query_tokens"], tgt_tokens], axis=1)
+            pad = dn["labels"].shape[1]
+            lab = jnp.take(label_enc, dn["labels"], axis=0)       # (B, pad, hd)
+            pose_tok = jnp.broadcast_to(pose_enc[None, None], (B, pad, K, hd))
+            dn_tokens = jnp.concatenate([lab[:, :, None], pose_tok], axis=2)
+            tgt_tokens = jnp.concatenate([dn_tokens.astype(self.dtype), tgt_tokens], axis=1)
             refpoints = jnp.concatenate(
-                [jax.nn.sigmoid(dn["query_pose_logits"]), refpoints], axis=1)
+                [jax.nn.sigmoid(dn["pose_logits"]), refpoints], axis=1)
             attn_mask = dn["attn_mask"]
 
         # -- value prep: per-level per-head views of the (unmasked) memory

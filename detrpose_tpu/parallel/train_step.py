@@ -1,0 +1,99 @@
+"""Sharded training step: forward (train) + criterion + AdamW + EMA under pjit.
+
+Replaces the reference's engine.train_one_epoch inner loop
+(src/solver/engine.py:37-97): autocast -> bf16 module dtype; GradScaler -> not
+needed in bf16; DDP gradient all-reduce -> implicit psum from pjit; SyncBN ->
+global batch-stat reduction under pjit; grad clip + EMA identical.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..train.criterion import criterion as criterion_fn
+from ..train.optim import EMA
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: Optional[Any] = None
+
+
+def init_train_state(model, tx, rng, sample_batch, use_ema: bool = True,
+                     dn=None) -> TrainState:
+    variables = model.init(rng, sample_batch, train=True, dn=dn)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        ema=EMA.init(params) if use_ema else None,
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    num_body_points: int,
+    num_classes: int = 2,
+    weight_dict: Optional[Dict[str, float]] = None,
+    matcher_backend: str = "auction",
+    ema_decay: float = 0.9999,
+    ema_warmups: int = 2000,
+    use_ema: bool = True,
+) -> Callable[[TrainState, Dict[str, Any]], tuple]:
+    """Returns a jittable (state, batch) -> (state, metrics) step.
+
+    batch = {"images": (B,H,W,3), "targets": {labels, boxes, keypoints, area,
+    valid}, optionally "dn": output of train/cdn.build_cdn converted to jnp}.
+    """
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        dn = batch.get("dn")
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], train=True, dn=dn, mutable=["batch_stats"],
+            )
+            targets = dict(batch["targets"])
+            if dn is not None:
+                targets["dn_match"] = dn["dn_match"]
+            losses = criterion_fn(
+                out, targets, num_body_points, num_classes,
+                weight_dict=weight_dict, matcher_backend=matcher_backend,
+            )
+            total = jnp.asarray(0.0, jnp.float32)
+            for v in losses.values():
+                total = total + v.astype(jnp.float32)
+            return total, (losses, mut["batch_stats"])
+
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            EMA.update(state.ema, new_params, ema_decay, ema_warmups)
+            if state.ema is not None and use_ema else state.ema
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema=new_ema,
+        )
+        metrics = {"loss_total": total, **losses}
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,233 @@
+"""Training criterion: Hungarian-matched VFL + L1 + OKS losses with deep
+supervision, on batched/padded targets (TPU-first; no ragged python loops).
+
+Reference semantics: src/models/detrpose/criterion.py. Loss math matches:
+  * loss_vfl (criterion.py:58-93): varifocal BCE where the positive target is
+    the detached OKS of the matched prediction.
+  * loss_keypoints (criterion.py:200-229): visibility-masked L1 + (1-OKS),
+    computed at the union ("go") matching across all decoder layers
+    (criterion.py:247-268).
+  * per-level matching for vfl, union matching for keypoints, DN branch with
+    fabricated positive indices (criterion.py:385-430).
+
+Normalization: the reference all-reduces num_boxes across ranks
+(criterion.py:317-323). Here losses are computed over the *global* batch under
+pjit, so jnp.sum over the sharded batch axis IS the all-reduce — numerically
+identical to DDP's mean-of-rank-losses.
+
+Targets layout: labels (B,G) int32, keypoints (B,G,3K) xyxy..vv normalized,
+area (B,G) normalized, valid (B,G) bool — valid entries first.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .matcher import hungarian_match
+from ..ops.oks import keypoint_sigmas
+
+DEFAULT_WEIGHTS = {"loss_vfl": 2.0, "loss_keypoints": 10.0, "loss_oks": 4.0}
+
+
+def _pair_oks(zp, zg, vg, area, K):
+    """OKS for aligned pairs. zp/zg (..., 2K), vg (..., K), area (...)."""
+    sig = jnp.asarray(keypoint_sigmas(K))
+    var = (2.0 * sig) ** 2
+    kp = zp.reshape(zp.shape[:-1] + (K, 2)).astype(jnp.float32)
+    kg = zg.reshape(zg.shape[:-1] + (K, 2)).astype(jnp.float32)
+    d2 = (kp[..., 0] - kg[..., 0]) ** 2 + (kp[..., 1] - kg[..., 1]) ** 2
+    e = d2 / (area[..., None] * var * 2.0)
+    sim = jnp.exp(-e) * vg
+    return sim.sum(-1) / (vg.sum(-1) + 1e-6)
+
+
+def _scatter_to_queries(assign_q, valid, values, nq, fill):
+    """Scatter per-GT values to a (B, nq) per-query array (fill elsewhere).
+
+    assign_q: (B, G) query index per GT; valid: (B, G); values: (B, G).
+    """
+    B, G = assign_q.shape
+    safe_q = jnp.where(valid, assign_q, nq)  # dump slot
+    out = jnp.full((B, nq + 1), fill, values.dtype)
+    bidx = jnp.arange(B)[:, None]
+    out = out.at[bidx, safe_q].set(values.astype(out.dtype))
+    return out[:, :nq]
+
+
+def loss_vfl(outputs, targets, assign_q, num_boxes, K, num_classes=2,
+             focal_alpha=0.25, gamma=2.0):
+    """Varifocal loss (criterion.py:58-93)."""
+    logits = outputs["pred_logits"].astype(jnp.float32)  # (B, nq, C)
+    B, nq, C = logits.shape
+    valid = targets["valid"]
+
+    # detached OKS of the matched predictions
+    zp_all = outputs["pred_keypoints"][..., : 2 * K]
+    bidx = jnp.arange(B)[:, None]
+    zp = zp_all[bidx, jnp.where(valid, assign_q, 0)]           # (B, G, 2K)
+    zg = targets["keypoints"][..., : 2 * K]
+    vg = targets["keypoints"][..., 2 * K:]
+    oks = _pair_oks(zp, zg, vg, targets["area"], K)
+    oks = jnp.clip(oks, 1e-6, None)
+    oks = jax.lax.stop_gradient(oks)
+
+    tcls = _scatter_to_queries(assign_q, valid, targets["labels"], nq,
+                               jnp.int32(num_classes))
+    target = jax.nn.one_hot(tcls, num_classes + 1)[..., :-1]   # (B, nq, C)
+    tscore = _scatter_to_queries(assign_q, valid, oks, nq, 0.0)
+    target_score = tscore[..., None] * target
+
+    pred_score = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
+    weight = focal_alpha * pred_score**gamma * (1 - target) + target_score
+
+    bce = optax_sigmoid_bce(logits, target_score)
+    loss = (bce * weight).mean(axis=1).sum() * nq / num_boxes
+    return {"loss_vfl": loss}
+
+
+def optax_sigmoid_bce(logits, labels):
+    """binary_cross_entropy_with_logits, element-wise (stable form)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def loss_keypoints(outputs, targets, go_g, go_valid, num_boxes_go, K):
+    """L1 + OKS losses at the union matching (criterion.py:200-229)."""
+    zp = outputs["pred_keypoints"][..., : 2 * K].astype(jnp.float32)  # (B, nq, 2K)
+    B, nq, _ = zp.shape
+    g_safe = jnp.where(go_valid, go_g, 0)
+    bidx = jnp.arange(B)[:, None]
+    zg = targets["keypoints"][bidx, g_safe][..., : 2 * K]
+    vg = targets["keypoints"][bidx, g_safe][..., 2 * K:]
+    area = targets["area"][bidx, g_safe]
+
+    v2 = jnp.repeat(vg, 2, axis=-1)
+    l1 = jnp.abs(zp - zg) * v2 * go_valid[..., None]
+    oks = _pair_oks(zp, zg, vg, area, K)
+    oks_l = (1.0 - jnp.clip(oks, 1e-6, None)) * go_valid
+
+    return {
+        "loss_keypoints": l1.sum() / num_boxes_go,
+        "loss_oks": oks_l.sum() / num_boxes_go,
+    }
+
+
+def union_indices(assignments, valid, nq):
+    """Union ("global optimal") matching across decoder layers.
+
+    Reference semantics (criterion.py:247-268): pool all layers' (query, gt)
+    pairs; each query keeps the gt it was matched to most often.
+
+    Args:
+      assignments: list of (B, G) per-layer assign_q arrays.
+      valid: (B, G).
+    Returns:
+      go_g (B, nq) int32 gt index per query, go_valid (B, nq) bool.
+    """
+    B, G = assignments[0].shape
+    counts = jnp.zeros((B, nq + 1, G), jnp.int32)
+    bidx = jnp.arange(B)[:, None]
+    gidx = jnp.arange(G)[None, :]
+    for a in assignments:
+        safe_q = jnp.where(valid, a, nq)
+        counts = counts.at[bidx, safe_q, gidx].add(1)
+    counts = counts[:, :nq]                       # (B, nq, G)
+    go_g = jnp.argmax(counts, axis=2).astype(jnp.int32)
+    go_valid = jnp.max(counts, axis=2) > 0
+    return go_g, go_valid
+
+
+def criterion(
+    outputs: Dict[str, Any],
+    targets: Dict[str, jax.Array],
+    num_body_points: int,
+    num_classes: int = 2,
+    weight_dict: Optional[Dict[str, float]] = None,
+    matcher_backend: str = "auction",
+    matcher_weights=(2.0, 10.0, 4.0),
+) -> Dict[str, jax.Array]:
+    """Full training loss over final/aux/pre/interm/dn outputs.
+
+    Returns dict of weighted losses; total = sum of values.
+    """
+    K = num_body_points
+    wd = dict(DEFAULT_WEIGHTS if weight_dict is None else weight_dict)
+    cc, ck, co = matcher_weights
+    valid = targets["valid"]
+    nq = outputs["pred_logits"].shape[1]
+
+    def match(o):
+        return hungarian_match(
+            o["pred_logits"], o["pred_keypoints"], targets, K,
+            cost_class=cc, cost_keypoints=ck, cost_oks=co,
+            backend=matcher_backend,
+        )
+
+    # per-level matchings
+    idx_final = match(outputs)
+    idx_aux = [match(a) for a in outputs.get("aux_outputs", [])]
+    idx_pre = match(outputs["aux_pre_outputs"])
+    idx_interm = [match(a) for a in outputs.get("aux_interm_outputs", [])]
+
+    all_assign = [idx_final] + idx_aux + [idx_pre] + idx_interm
+    go_g, go_valid = union_indices(all_assign, valid, nq)
+
+    num_boxes = jnp.clip(valid.sum().astype(jnp.float32), 1.0, None)
+    num_boxes_go = jnp.clip(go_valid.sum().astype(jnp.float32), 1.0, None)
+
+    losses: Dict[str, jax.Array] = {}
+
+    def add(dst_suffix, o, idx):
+        l = {}
+        l.update(loss_vfl(o, targets, idx, num_boxes, K, num_classes))
+        l.update(loss_keypoints(o, targets, go_g, go_valid, num_boxes_go, K))
+        for k, v in l.items():
+            if k in wd:
+                losses[k + dst_suffix] = v * wd[k]
+
+    add("", outputs, idx_final)
+    for i, a in enumerate(outputs.get("aux_outputs", [])):
+        add(f"_{i}", a, idx_aux[i])
+    add("_pre", outputs["aux_pre_outputs"], idx_pre)
+    for i, a in enumerate(outputs.get("aux_interm_outputs", [])):
+        add(f"_enc_{i}", a, idx_interm[i])
+
+    # DN branch: fabricated positive indices from the CDN layout.
+    if "dn_aux_outputs" in outputs and "dn_match" in targets:
+        dn_q = targets["dn_match"]["query_idx"]      # (B, M)
+        dn_valid = targets["dn_match"]["valid"]      # (B, M)
+        dn_g = targets["dn_match"]["gt_idx"]         # (B, M)
+        scalar = targets["dn_match"]["num_group"]    # scalar
+        nb_dn = num_boxes * scalar
+
+        # Build per-branch "targets view" reordered so column m corresponds to
+        # gt_idx[m]; reuse the same loss fns with a remapped target set.
+        dn_targets = {
+            "labels": jnp.take_along_axis(targets["labels"], dn_g, axis=1),
+            "keypoints": jnp.take_along_axis(
+                targets["keypoints"], dn_g[..., None], axis=1),
+            "area": jnp.take_along_axis(targets["area"], dn_g, axis=1),
+            "valid": dn_valid,
+        }
+        nq_dn = outputs["dn_aux_outputs"][0]["pred_logits"].shape[1]
+        dn_go_g, dn_go_valid = union_indices([dn_q], dn_valid, nq_dn)
+        for i, a in enumerate(outputs["dn_aux_outputs"]):
+            l = {}
+            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes))
+            l.update(loss_keypoints(a, dn_targets, dn_go_g, dn_go_valid,
+                                    jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
+            for k, v in l.items():
+                if k in wd:
+                    losses[k + f"_dn_{i}"] = v * wd[k]
+        if "dn_aux_pre_outputs" in outputs:
+            a = outputs["dn_aux_pre_outputs"]
+            l = {}
+            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes))
+            l.update(loss_keypoints(a, dn_targets, dn_go_g, dn_go_valid,
+                                    jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
+            for k, v in l.items():
+                if k in wd:
+                    losses[k + "_dn_pre"] = v * wd[k]
+
+    return losses

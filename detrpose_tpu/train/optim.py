@@ -1,0 +1,92 @@
+"""Optimizer + LR schedule + EMA, optax-based.
+
+Reference semantics:
+  * AdamW lr 1e-4, betas (0.9, 0.999), wd 1e-4, with a regex param group giving
+    the backbone a different lr (src/misc/get_param_dicts.py:8-40, configs).
+  * MultiStepLR (milestones, gamma) + optional per-step LinearWarmup
+    (src/nn/optimizer/warmup.py).
+  * ModelEMA with exponential warmup ramp decay*(1-exp(-updates/warmups))
+    (src/nn/optimizer/ema.py:20-67).
+  * Global-norm gradient clipping (engine.py:82-85, clip_max_norm 0.1).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float,
+                       warmup_steps: int = 0):
+    """MultiStepLR over *epoch-boundary* steps, with optional linear warmup.
+
+    `milestones` are given in optimizer steps (the trainer converts epochs).
+    """
+    def schedule(step):
+        lr = base_lr
+        factor = jnp.ones((), jnp.float32)
+        for m in milestones:
+            factor = factor * jnp.where(step >= m, gamma, 1.0)
+        lr = base_lr * factor
+        if warmup_steps > 0:
+            w = jnp.clip(step / warmup_steps, 0.0, 1.0)
+            lr = lr * w
+        return lr
+
+    return schedule
+
+
+def make_optimizer(
+    params: Any,
+    base_lr: float = 1e-4,
+    backbone_lr: float = 1e-5,
+    betas=(0.9, 0.999),
+    weight_decay: float = 1e-4,
+    clip_max_norm: float = 0.1,
+    milestones: Sequence[int] = (),
+    gamma: float = 0.1,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    """AdamW with a backbone lr multiplier, clipping, and MultiStep schedule."""
+    sched_main = multistep_schedule(base_lr, milestones, gamma, warmup_steps)
+    sched_bb = multistep_schedule(backbone_lr, milestones, gamma, warmup_steps)
+
+    def label_fn(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "backbone" if path and getattr(path[0], "key", "") == "backbone"
+            else "main",
+            tree,
+        )
+
+    def adamw(sched):
+        return optax.adamw(sched, b1=betas[0], b2=betas[1],
+                           weight_decay=weight_decay)
+
+    tx = optax.multi_transform(
+        {"main": adamw(sched_main), "backbone": adamw(sched_bb)},
+        label_fn(params),
+    )
+    if clip_max_norm and clip_max_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    return tx
+
+
+class EMA:
+    """Functional EMA state helpers (reference: src/nn/optimizer/ema.py)."""
+
+    @staticmethod
+    def init(params):
+        return {"params": jax.tree.map(jnp.asarray, params),
+                "updates": jnp.zeros((), jnp.int32)}
+
+    @staticmethod
+    def update(ema_state, params, decay: float = 0.9999, warmups: int = 2000):
+        updates = ema_state["updates"] + 1
+        d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / warmups))
+        new = jax.tree.map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            ema_state["params"], params,
+        )
+        return {"params": new, "updates": updates}

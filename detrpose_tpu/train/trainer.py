@@ -1,0 +1,201 @@
+"""Trainer: full training/eval lifecycle on a TPU mesh.
+
+Reference semantics: src/solver/trainer.py (fit epoch loop :172-309, eval
+:311-341, resume :343-379) and src/solver/engine.py (train_one_epoch :15-117,
+evaluate :120-176). TPU-native mapping:
+  * DDP + per-rank batch split -> pjit over a 1-D 'data' mesh, global batch.
+  * AMP autocast/GradScaler     -> bf16 module dtype, fp32 params (no scaler).
+  * SyncBN                      -> global BN stats under pjit.
+  * checkpoint.pth              -> orbax checkpoint of the TrainState.
+  * loss-NaN hard exit          -> same guard (engine.py:68-71).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..parallel import (
+    TrainState, batch_sharding, init_train_state, make_mesh, make_train_step,
+    replicated_sharding,
+)
+from ..models import postprocess
+from ..train.optim import make_optimizer
+from ..data.evaluator import KeypointEvaluator
+from ..utils.checkpoint import save_checkpoint, restore_checkpoint
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        model_cfg,
+        train_loader=None,
+        val_loader=None,
+        val_gts: Optional[Dict] = None,
+        output_dir: str = "output",
+        epochs: int = 52,
+        lr: float = 1e-4,
+        backbone_lr: float = 1e-5,
+        weight_decay: float = 1e-4,
+        clip_max_norm: float = 0.1,
+        milestones=(1000,),
+        gamma: float = 0.1,
+        warmup_steps: int = 0,
+        use_ema: bool = True,
+        ema_decay: float = 0.9999,
+        ema_warmups: int = 2000,
+        matcher_backend: str = "auction",
+        weight_dict=None,
+        save_interval: int = 1,
+        n_devices: Optional[int] = None,
+        log_fn=print,
+    ):
+        self.model = model
+        self.cfg = model_cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.val_gts = val_gts
+        self.output_dir = output_dir
+        self.epochs = epochs
+        self.use_ema = use_ema
+        self.save_interval = save_interval
+        self.log = log_fn
+
+        os.makedirs(output_dir, exist_ok=True)
+        self.mesh = make_mesh(n_devices)
+        self.shard_b = batch_sharding(self.mesh)
+        self.repl = replicated_sharding(self.mesh)
+
+        steps_per_epoch = len(train_loader) if train_loader is not None else 1
+        params_shape = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=True)
+        )["params"]
+        self.tx = make_optimizer(
+            params_shape, lr, backbone_lr, weight_decay=weight_decay,
+            clip_max_norm=clip_max_norm,
+            milestones=[m * steps_per_epoch for m in milestones], gamma=gamma,
+            warmup_steps=warmup_steps,
+        )
+        self.state = init_train_state(
+            self.model, self.tx, jax.random.PRNGKey(0),
+            jnp.zeros((1, 64, 64, 3)), use_ema=use_ema)
+        self.state = jax.device_put(self.state, self.repl)
+
+        self._step = make_train_step(
+            model, self.tx, num_body_points=model_cfg.num_body_points,
+            num_classes=model_cfg.num_classes, weight_dict=weight_dict,
+            matcher_backend=matcher_backend,
+            ema_decay=ema_decay, ema_warmups=ema_warmups, use_ema=use_ema,
+        )
+        self._jit_step = jax.jit(self._step, donate_argnums=0)
+        self._jit_eval = jax.jit(
+            lambda v, img, ts: postprocess(
+                model.apply(v, img, train=False), ts,
+                num_body_points=model_cfg.num_body_points),
+        )
+        self.start_epoch = 0
+        self.best_ap = -1.0
+
+    # ----------------------------------------------------------------- train
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        def put_tree(tree, sharding):
+            return jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+
+        out = {
+            "images": put_tree(batch["images"], self.shard_b),
+            "targets": put_tree(batch["targets"], self.shard_b),
+        }
+        if "dn" in batch:
+            dn = batch["dn"]
+            out["dn"] = {
+                "labels": jax.device_put(jnp.asarray(dn["labels"]), self.shard_b),
+                "pose_logits": jax.device_put(jnp.asarray(dn["pose_logits"]), self.shard_b),
+                "attn_mask": jax.device_put(jnp.asarray(dn["attn_mask"]), self.repl),
+                "dn_match": {
+                    "query_idx": jax.device_put(jnp.asarray(dn["dn_match"]["query_idx"]), self.shard_b),
+                    "gt_idx": jax.device_put(jnp.asarray(dn["dn_match"]["gt_idx"]), self.shard_b),
+                    "valid": jax.device_put(jnp.asarray(dn["dn_match"]["valid"]), self.shard_b),
+                    "num_group": jax.device_put(jnp.asarray(dn["dn_match"]["num_group"]), self.repl),
+                },
+            }
+        return out
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        t0 = time.time()
+        n = 0
+        agg: Dict[str, float] = {}
+        with self.mesh:
+            for batch in self.train_loader:
+                db = self._device_batch(batch)
+                self.state, metrics = self._jit_step(self.state, db)
+                n += 1
+                if n % 50 == 0 or n == 1:
+                    total = float(metrics["loss_total"])
+                    if not math.isfinite(total):
+                        raise RuntimeError(
+                            f"Loss is {total}, stopping training (engine.py:68-71)")
+                    self.log(f"epoch {epoch} step {n}/{len(self.train_loader)} "
+                             f"loss={total:.4f} ({(time.time() - t0) / n:.2f}s/it)")
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        return {k: v / max(n, 1) for k, v in agg.items()}
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, use_ema: Optional[bool] = None) -> Dict[str, float]:
+        if self.val_loader is None or self.val_gts is None:
+            return {}
+        use_ema = self.use_ema if use_ema is None else use_ema
+        params = (self.state.ema["params"]
+                  if (use_ema and self.state.ema is not None) else self.state.params)
+        variables = {"params": params, "batch_stats": self.state.batch_stats}
+        ev = KeypointEvaluator(self.val_gts, self.cfg.num_body_points)
+        with self.mesh:
+            for batch in self.val_loader:
+                img = jax.device_put(jnp.asarray(batch["images"]), self.shard_b)
+                ts = jax.device_put(jnp.asarray(batch["orig_sizes"], ), self.shard_b)
+                scores, labels, kpts = self._jit_eval(variables, img, ts)
+                scores, kpts = np.asarray(scores), np.asarray(kpts)
+                for b, img_id in enumerate(batch["image_ids"]):
+                    ev.update(int(img_id), scores[b], kpts[b])
+        ev.accumulate()
+        stats = ev.summarize()
+        self.log("eval: " + json.dumps({k: round(v, 4) for k, v in stats.items()}))
+        return stats
+
+    # ------------------------------------------------------------------- fit
+    def fit(self):
+        log_path = os.path.join(self.output_dir, "log.txt")
+        for epoch in range(self.start_epoch, self.epochs):
+            train_stats = self.train_one_epoch(epoch)
+            stats = self.evaluate()
+            ap = stats.get("AP", -1.0)
+            if epoch % self.save_interval == 0 or ap > self.best_ap:
+                save_checkpoint(os.path.join(self.output_dir, "checkpoint"),
+                                self.state, epoch)
+            if ap > self.best_ap:
+                self.best_ap = ap
+                save_checkpoint(os.path.join(self.output_dir, "best"),
+                                self.state, epoch)
+            with open(log_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    **{f"train_{k}": v for k, v in train_stats.items()},
+                    **stats,
+                }) + "\n")
+        return self.best_ap
+
+    # ---------------------------------------------------------------- resume
+    def resume(self, path: str):
+        self.state, epoch = restore_checkpoint(path, self.state)
+        self.start_epoch = epoch + 1
+        self.log(f"resumed from {path} at epoch {epoch}")

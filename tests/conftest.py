@@ -5,7 +5,13 @@ be exercised without TPU hardware. Must run before jax initializes a backend.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the sandbox presets JAX_PLATFORMS=axon (TPU)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This environment's JAX defaults matmuls to low precision (TPU-style bf16
+# passes) even on CPU; parity tests need true f32 accumulation.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

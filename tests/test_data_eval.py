@@ -1,0 +1,181 @@
+"""Tests for the self-contained keypoint evaluator and the data pipeline."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from detrpose_tpu.data.evaluator import KeypointEvaluator, compute_oks
+from detrpose_tpu.data.coco import CocoKeypointDataset, normalize_target, pad_targets
+from detrpose_tpu.data.loader import KeypointLoader, generate_scales
+from detrpose_tpu.data.transforms import hflip, resize, TrainTransforms, EvalTransforms
+from detrpose_tpu.ops.oks import keypoint_sigmas
+
+K = 17
+
+
+def _gt(img_id, kpts_list):
+    anns = []
+    for kp in kpts_list:
+        kp = np.asarray(kp, np.float64).reshape(K, 3)
+        xs, ys = kp[:, 0], kp[:, 1]
+        bbox = [xs.min(), ys.min(), xs.max() - xs.min() + 1, ys.max() - ys.min() + 1]
+        anns.append({
+            "keypoints": kp,
+            "area": bbox[2] * bbox[3],
+            "bbox": bbox,
+            "iscrowd": 0,
+            "num_keypoints": int((kp[:, 2] > 0).sum()),
+        })
+    return img_id, {"anns": anns}
+
+
+def _rand_pose(rng, cx, cy, spread=40):
+    kp = np.zeros((K, 3))
+    kp[:, 0] = cx + rng.uniform(-spread, spread, K)
+    kp[:, 1] = cy + rng.uniform(-spread, spread, K)
+    kp[:, 2] = 2
+    return kp
+
+
+def test_perfect_detections_ap1():
+    rng = np.random.default_rng(0)
+    gts = {}
+    ev_dets = []
+    for img in range(4):
+        poses = [_rand_pose(rng, 100 + 80 * i, 150) for i in range(3)]
+        iid, g = _gt(img, poses)
+        gts[iid] = g
+        ev_dets.append(poses)
+    ev = KeypointEvaluator(gts, K)
+    for img, poses in enumerate(ev_dets):
+        det = np.stack(poses)
+        ev.update(img, np.linspace(0.9, 0.7, len(poses)), det)
+    ev.accumulate()
+    s = ev.summarize()
+    assert s["AP"] == pytest.approx(1.0)
+    assert s["AR"] == pytest.approx(1.0)
+
+
+def test_no_detections_ap0():
+    rng = np.random.default_rng(1)
+    gts = dict([_gt(0, [_rand_pose(rng, 100, 100)])])
+    ev = KeypointEvaluator(gts, K)
+    ev.accumulate()
+    s = ev.summarize()
+    assert s["AP"] == pytest.approx(0.0)
+
+
+def test_half_matched_ap():
+    """2 GTs, 1 perfect detection + 1 garbage detection at lower score."""
+    rng = np.random.default_rng(2)
+    p1 = _rand_pose(rng, 100, 100)
+    p2 = _rand_pose(rng, 300, 100)
+    gts = dict([_gt(0, [p1, p2])])
+    ev = KeypointEvaluator(gts, K)
+    garbage = p2.copy()
+    garbage[:, 0] += 500
+    ev.update(0, [0.9, 0.8], np.stack([p1, garbage]))
+    ev.accumulate()
+    s = ev.summarize()
+    # PR: first det TP (p=1, r=0.5), second FP. AP = 0.5 (precision 1 up to
+    # recall 0.5, then 0) at every threshold.
+    assert s["AP"] == pytest.approx(0.5, abs=0.01)
+    assert s["AR"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_oks_self_is_one():
+    rng = np.random.default_rng(3)
+    kp = _rand_pose(rng, 50, 50)
+    oks = compute_oks(kp[None], kp[None].astype(np.float64), np.asarray([1600.0]),
+                      keypoint_sigmas(K).astype(np.float64))
+    assert oks[0, 0] == pytest.approx(1.0)
+
+
+# ---------------- data pipeline ----------------
+
+@pytest.fixture(scope="module")
+def tiny_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    aid = 1
+    for i in range(6):
+        w, h = 320, 240
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(
+            img_dir / f"{i:04d}.jpg")
+        images.append({"id": i, "file_name": f"{i:04d}.jpg", "width": w, "height": h})
+        for j in range(2):
+            kp = _rand_pose(rng, 80 + 100 * j, 120, 30)
+            kp[:, 0] = kp[:, 0].clip(0, w - 1)
+            kp[:, 1] = kp[:, 1].clip(0, h - 1)
+            xs, ys = kp[:, 0], kp[:, 1]
+            annotations.append({
+                "id": aid, "image_id": i, "category_id": 1,
+                "keypoints": kp.reshape(-1).tolist(),
+                "num_keypoints": K, "iscrowd": 0,
+                "bbox": [float(xs.min()), float(ys.min()),
+                         float(xs.max() - xs.min()), float(ys.max() - ys.min())],
+                "area": float((xs.max() - xs.min()) * (ys.max() - ys.min())),
+            })
+            aid += 1
+    ann = {"images": images, "annotations": annotations,
+           "categories": [{"id": 1, "name": "person"}]}
+    ann_file = root / "ann.json"
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    return str(img_dir), str(ann_file)
+
+
+def test_dataset_and_loader(tiny_coco):
+    img_dir, ann_file = tiny_coco
+    ds = CocoKeypointDataset(img_dir, ann_file, K, train=True,
+                             transforms=TrainTransforms(out_size=160, policy_epochs=(0, 2, 4)))
+    assert len(ds) == 6
+    loader = KeypointLoader(ds, batch_size=2, num_keypoints=K, train=True,
+                            max_gt=8, base_size=160)
+    loader.set_epoch(1)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["images"].shape[1:] == (160, 160, 3)
+    assert b["targets"]["valid"].any()
+    kz = b["targets"]["keypoints"]
+    assert kz.shape[-1] == 3 * K
+    v = b["targets"]["valid"]
+    assert (kz[v][:, :2 * K] >= -0.01).all() and (kz[v][:, :2 * K] <= 1.01).all()
+    assert "dn" in b
+    assert b["dn"]["labels"].shape[0] == 2
+
+
+def test_eval_loader_roundtrip(tiny_coco):
+    img_dir, ann_file = tiny_coco
+    ds = CocoKeypointDataset(img_dir, ann_file, K, train=False,
+                             transforms=EvalTransforms(out_size=160))
+    loader = KeypointLoader(ds, batch_size=3, num_keypoints=K, train=False,
+                            with_cdn=False, drop_last=False)
+    n = sum(b["images"].shape[0] for b in loader)
+    assert n == 6
+
+
+def test_hflip_pairs():
+    img = Image.new("RGB", (100, 80))
+    kp = np.zeros((1, K, 3), np.float32)
+    kp[0, 1] = [10, 20, 2]   # left eye
+    kp[0, 2] = [30, 20, 2]   # right eye
+    t = {"boxes": np.asarray([[5, 10, 40, 40]], np.float32),
+         "labels": np.asarray([0]), "keypoints": kp,
+         "area": np.asarray([100.0], np.float32)}
+    img2, t2 = hflip(img, t, K)
+    # after flip, slot 1 (left eye) holds the flipped right eye
+    np.testing.assert_allclose(t2["keypoints"][0, 1, :2], [100 - 30, 20])
+    np.testing.assert_allclose(t2["keypoints"][0, 2, :2], [100 - 10, 20])
+
+
+def test_generate_scales():
+    s = generate_scales(640, 4)
+    assert 640 in s and min(s) >= 480 and max(s) <= 800
+    assert all(x % 32 == 0 for x in s)

@@ -1,0 +1,49 @@
+"""End-to-end parity: reference torch DETRPose vs our JAX model with converted
+weights, on the same random input. This validates every layer's numerics AND
+the weight converter in one shot — it is the round-1 stand-in for COCO AP
+parity (no network access to fetch zoo checkpoints here; the converter applies
+unchanged to them since the key space is identical).
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from detrpose_tpu.configs import build_model
+from detrpose_tpu.utils.convert import convert_state_dict
+
+from ref_loader import build_reference_model
+
+
+@pytest.mark.parametrize("size,hw", [("n", (160, 160)), ("s", (96, 96))])
+def test_full_model_parity(size, hw):
+    torch.manual_seed(0)
+    ref_model, cfg = build_reference_model(size, eval_hw=hw)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = build_model(cfg)
+    H, W = hw
+    x_np = np.random.default_rng(0).uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+
+    # train=True so every head (incl. train-only LQE/class heads) is in the tree.
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((2, H, W, 3)), train=True)
+    )
+    variables = convert_state_dict(sd, jax.tree.map(lambda x: x, dict(template)))
+
+    out_j = model.apply(variables, jnp.asarray(x_np), train=False)
+
+    with torch.no_grad():
+        out_t = ref_model(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
+
+    logits_t = out_t["pred_logits"].numpy()
+    kpts_t = out_t["pred_keypoints"].numpy()
+    logits_j = np.asarray(out_j["pred_logits"])
+    kpts_j = np.asarray(out_j["pred_keypoints"])
+
+    assert logits_j.shape == logits_t.shape
+    assert kpts_j.shape == kpts_t.shape
+    np.testing.assert_allclose(logits_j, logits_t, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(kpts_j, kpts_t, rtol=1e-3, atol=2e-3)

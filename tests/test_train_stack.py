@@ -1,0 +1,166 @@
+"""Tests for matcher / criterion / CDN / train step."""
+import importlib.util
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detrpose_tpu.train.matcher import match_cost, auction_assign, scipy_assign
+from detrpose_tpu.train.cdn import build_cdn, CDNConfig
+from detrpose_tpu.train.criterion import criterion
+
+
+def _rand_targets(rng, B, G, K, n_valid=None):
+    kxy = rng.uniform(0.1, 0.9, (B, G, K, 2)).astype(np.float32)
+    t = {
+        "labels": np.zeros((B, G), np.int32),
+        "boxes": np.concatenate(
+            [kxy.mean(2), np.full((B, G, 2), 0.3, np.float32)], -1),
+        "keypoints": np.concatenate(
+            [kxy.reshape(B, G, 2 * K),
+             (rng.uniform(size=(B, G, K)) > 0.2).astype(np.float32)], -1),
+        "area": rng.uniform(0.02, 0.2, (B, G)).astype(np.float32),
+        "valid": np.ones((B, G), bool),
+    }
+    if n_valid is not None:
+        for b in range(B):
+            t["valid"][b, n_valid[b]:] = False
+    return t
+
+
+def test_match_cost_matches_reference_matcher():
+    """Cost + assignment vs the reference HungarianMatcher on identical inputs."""
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_matcher", "/root/reference/src/models/detrpose/matcher.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.default_rng(0)
+    B, nq, G, K, C = 2, 12, 5, 17, 2
+    logits = rng.standard_normal((B, nq, C)).astype(np.float32)
+    kpts = rng.uniform(0, 1, (B, nq, 2 * K)).astype(np.float32)
+    tgts = _rand_targets(rng, B, G, K)
+
+    cost = np.asarray(match_cost(
+        jnp.asarray(logits), jnp.asarray(kpts),
+        {k: jnp.asarray(v) for k, v in tgts.items()}, K))
+
+    m = ref.HungarianMatcher(cost_class=2.0, cost_keypoints=10.0, cost_oks=4.0,
+                             focal_alpha=0.25, num_body_points=K)
+    t_outputs = {
+        "pred_logits": torch.from_numpy(logits),
+        "pred_keypoints": torch.from_numpy(kpts),
+    }
+    t_targets = [
+        {
+            "labels": torch.from_numpy(tgts["labels"][b]),
+            "keypoints": torch.from_numpy(tgts["keypoints"][b]),
+            "area": torch.from_numpy(tgts["area"][b]),
+            "boxes": torch.zeros(G, 4),
+        }
+        for b in range(B)
+    ]
+    ref_idx = m(t_outputs, t_targets)
+
+    # Reference computes one flat (B*nq, sum G) matrix then splits; reconstruct
+    # the per-image block to compare.
+    # Instead compare through the assignment: same optimal matching.
+    ours = np.asarray(scipy_assign(jnp.asarray(cost),
+                                   jnp.asarray(tgts["valid"])))
+    for b in range(B):
+        r, c = ref_idx[b]
+        ref_assign = np.zeros(G, np.int64)
+        ref_assign[c.numpy()] = r.numpy()
+        np.testing.assert_array_equal(ours[b], ref_assign)
+
+
+def test_auction_close_to_optimal():
+    rng = np.random.default_rng(1)
+    B, nq, G = 4, 60, 8
+    cost = rng.standard_normal((B, nq, G)).astype(np.float32) * 3
+    valid = np.ones((B, G), bool)
+    valid[2, 5:] = False
+
+    a = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    s = np.asarray(scipy_assign(jnp.asarray(cost), jnp.asarray(valid)))
+    for b in range(B):
+        g = valid[b].sum()
+        ca = cost[b, a[b, :g], np.arange(g)].sum()
+        cs = cost[b, s[b, :g], np.arange(g)].sum()
+        # auction must be near-optimal and produce distinct queries
+        assert len(set(a[b, :g].tolist())) == g
+        assert ca <= cs + 0.05 * abs(cs) + 0.1
+
+
+def test_cdn_builder_structure():
+    rng = np.random.default_rng(2)
+    B, G, K, nq = 2, 6, 17, 60
+    tgts = _rand_targets(rng, B, G, K, n_valid=[6, 3])
+    dn = build_cdn(tgts, nq, K, (640, 640), rng)
+    assert dn is not None
+    cap = dn["pad_size"]
+    assert dn["labels"].shape == (B, cap)
+    assert dn["pose_logits"].shape == (B, cap, 1 + K, 2)
+    assert dn["attn_mask"].shape == (cap + nq, cap + nq)
+    # real queries must not see any DN slot
+    assert dn["attn_mask"][cap:, :cap].all()
+    # real queries see each other
+    assert not dn["attn_mask"][cap:, cap:].any()
+    # group 0 positives see their own group
+    sp = 6  # single_pad = max_known
+    assert not dn["attn_mask"][:2 * sp, :2 * sp].any()
+    # ... but not group 1
+    g = dn["num_dn_group"]
+    if g > 1:
+        assert dn["attn_mask"][:2 * sp, 2 * sp:4 * sp].all()
+    # matches are valid queries within pad
+    mv = dn["dn_match"]["valid"]
+    assert (dn["dn_match"]["query_idx"][mv] < cap).all()
+
+
+def test_criterion_smoke_finite():
+    rng = np.random.default_rng(3)
+    B, nq, G, K, C, L = 2, 10, 4, 17, 2, 3
+    tgts = {k: jnp.asarray(v) for k, v in _rand_targets(rng, B, G, K).items()}
+
+    def fake_level():
+        return {
+            "pred_logits": jnp.asarray(rng.standard_normal((B, nq, C)).astype(np.float32)),
+            "pred_keypoints": jnp.asarray(rng.uniform(0, 1, (B, nq, 2 * K)).astype(np.float32)),
+        }
+
+    outputs = fake_level()
+    outputs["aux_outputs"] = [fake_level() for _ in range(L - 1)]
+    outputs["aux_pre_outputs"] = fake_level()
+    outputs["aux_interm_outputs"] = [fake_level()]
+
+    losses = jax.jit(
+        lambda o, t: criterion(o, t, K, C)
+    )(outputs, tgts)
+    assert len(losses) >= 3 * (L + 2)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_criterion_grads_flow():
+    rng = np.random.default_rng(4)
+    B, nq, G, K, C = 2, 8, 3, 17, 2
+    tgts = {k: jnp.asarray(v) for k, v in _rand_targets(rng, B, G, K).items()}
+    logits = jnp.asarray(rng.standard_normal((B, nq, C)).astype(np.float32))
+    kpts = jnp.asarray(rng.uniform(0, 1, (B, nq, 2 * K)).astype(np.float32))
+
+    def loss(lg, kp):
+        o = {"pred_logits": lg, "pred_keypoints": kp,
+             "aux_outputs": [], "aux_pre_outputs": {"pred_logits": lg, "pred_keypoints": kp},
+             "aux_interm_outputs": []}
+        ls = criterion(o, tgts, K, C)
+        return sum(ls.values())
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(logits, kpts)
+    assert float(jnp.abs(g1).sum()) > 0
+    assert float(jnp.abs(g2).sum()) > 0
+    assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()

@@ -1,0 +1,105 @@
+"""Training / evaluation CLI.
+
+Mirrors the reference train.py: a config file defines the experiment; CLI flags
+override. Example:
+
+  python train.py --config configs/coco/detrpose_l.py \
+      --img-dir /data/coco/train2017 --ann /data/coco/annotations/person_keypoints_train2017.json \
+      --val-img-dir /data/coco/val2017 --val-ann /data/coco/annotations/person_keypoints_val2017.json
+
+  python train.py --config configs/coco/detrpose_l.py --eval --resume output/best
+"""
+import argparse
+import json
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--options", nargs="*", default=[], help="a.b.c=value overrides")
+    p.add_argument("--img-dir")
+    p.add_argument("--ann")
+    p.add_argument("--val-img-dir")
+    p.add_argument("--val-ann")
+    p.add_argument("--resume")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--output-dir")
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--epochs", type=int)
+    args = p.parse_args()
+
+    from detrpose_tpu.core import LazyConfig, instantiate
+    from detrpose_tpu.configs import model_config, build_model
+    from detrpose_tpu.data.coco import CocoKeypointDataset
+    from detrpose_tpu.data.transforms import TrainTransforms, EvalTransforms
+    from detrpose_tpu.data.loader import KeypointLoader
+    from detrpose_tpu.train.trainer import Trainer
+
+    cfg = LazyConfig.load(args.config)
+    LazyConfig.apply_overrides(cfg, args.options)
+    tp = cfg.training_params
+    if args.output_dir:
+        tp["output_dir"] = args.output_dir
+    if args.batch_size:
+        tp["total_batch_size"] = args.batch_size
+    if args.epochs:
+        tp["epochs"] = args.epochs
+
+    mcfg = model_config(cfg.model_size, num_body_points=cfg.num_body_points)
+    model = build_model(mcfg)
+
+    train_loader = val_loader = None
+    val_gts = None
+    K = cfg.num_body_points
+    if args.img_dir and args.ann and not args.eval:
+        tds = CocoKeypointDataset(
+            args.img_dir, args.ann, K, train=True,
+            transforms=TrainTransforms(
+                out_size=tp.get("base_size", 640), num_keypoints=K,
+                policy_epochs=tuple(tp.get("policy_epochs", (5, 29, 48)))))
+        train_loader = KeypointLoader(
+            tds, tp.get("total_batch_size", 16), K, train=True,
+            base_size=tp.get("base_size", 640),
+            base_size_repeat=tp.get("base_size_repeat"),
+            multiscale_stop_epoch=tp.get("multiscale_stop_epoch", 48),
+            num_queries=mcfg.num_queries)
+    if args.val_img_dir and args.val_ann:
+        vds = CocoKeypointDataset(
+            args.val_img_dir, args.val_ann, K, train=False,
+            transforms=EvalTransforms(out_size=tp.get("base_size", 640)))
+        val_loader = KeypointLoader(vds, tp.get("eval_batch_size", 32), K,
+                                    train=False, with_cdn=False, drop_last=False)
+        val_gts = {
+            img_id: {"anns": [
+                {"keypoints": np.asarray(a["keypoints"], np.float64).reshape(K, 3),
+                 "area": a.get("area", a["bbox"][2] * a["bbox"][3]),
+                 "bbox": a["bbox"], "iscrowd": a.get("iscrowd", 0),
+                 "num_keypoints": a.get("num_keypoints", 0)}
+                for a in vds.anns_by_img.get(img_id, [])
+            ]}
+            for img_id in vds.ids
+        }
+
+    trainer = Trainer(
+        model, mcfg,
+        train_loader=train_loader, val_loader=val_loader, val_gts=val_gts,
+        output_dir=tp.get("output_dir", "output"),
+        epochs=tp.get("epochs", 52),
+        lr=tp.get("lr", 1e-4), backbone_lr=tp.get("backbone_lr", 1e-5),
+        weight_decay=tp.get("weight_decay", 1e-4),
+        clip_max_norm=tp.get("clip_max_norm", 0.1),
+        milestones=tuple(tp.get("milestones", (1000,))),
+        use_ema=tp.get("use_ema", True),
+    )
+    if args.resume:
+        trainer.resume(args.resume)
+    if args.eval:
+        print(json.dumps(trainer.evaluate()))
+    else:
+        trainer.fit()
+
+
+if __name__ == "__main__":
+    main()
