@@ -166,7 +166,8 @@ class Transformer(nn.Module):
             }
 
         # -- split DN block from real queries, pack deep-supervision outputs
-        pad = dn["pad_size"] if dn is not None else 0
+        # (pad is the static DN slot capacity, from the array shape)
+        pad = dn["labels"].shape[1] if dn is not None else 0
         flat_poses = out_poses.reshape(out_poses.shape[:3] + (2 * K,))
         pre_flat = pre_poses.reshape(B, -1, 2 * K)
 

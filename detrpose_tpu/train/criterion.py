@@ -92,6 +92,88 @@ def optax_sigmoid_bce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
+def loss_labels(outputs, targets, assign_q, num_boxes, K, num_classes=2,
+                focal_alpha=0.25, gamma=2.0):
+    """Plain sigmoid focal loss (criterion.py:38-56, utils.py:47-73)."""
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    B, nq, C = logits.shape
+    tcls = _scatter_to_queries(assign_q, targets["valid"], targets["labels"], nq,
+                               jnp.int32(num_classes))
+    target = jax.nn.one_hot(tcls, num_classes + 1)[..., :-1]
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_bce(logits, target)
+    p_t = p * target + (1 - p) * (1 - target)
+    loss = ce * (1 - p_t) ** gamma
+    alpha_t = focal_alpha * target + (1 - focal_alpha) * (1 - target)
+    loss = alpha_t * loss
+    return {"loss_ce": loss.mean(axis=1).sum() / num_boxes * nq}
+
+
+def loss_mal(outputs, targets, assign_q, num_boxes, K, num_classes=2,
+             mal_alpha=None, gamma=2.0):
+    """Matching-aware loss variant (criterion.py:95-135)."""
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    B, nq, C = logits.shape
+    valid = targets["valid"]
+    zp_all = outputs["pred_keypoints"][..., : 2 * K]
+    bidx = jnp.arange(B)[:, None]
+    zp = zp_all[bidx, jnp.where(valid, assign_q, 0)]
+    oks = _pair_oks(zp, targets["keypoints"][..., : 2 * K],
+                    targets["keypoints"][..., 2 * K:], targets["area"], K)
+    oks = jax.lax.stop_gradient(jnp.clip(oks, 1e-6, None))
+
+    tcls = _scatter_to_queries(assign_q, valid, targets["labels"], nq,
+                               jnp.int32(num_classes))
+    target = jax.nn.one_hot(tcls, num_classes + 1)[..., :-1]
+    tscore = _scatter_to_queries(assign_q, valid, oks, nq, 0.0)
+    target_score = (tscore[..., None] * target) ** gamma
+    pred_score = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
+    if mal_alpha is not None:
+        weight = mal_alpha * pred_score**gamma * (1 - target) + target
+    else:
+        weight = pred_score**gamma * (1 - target) + target
+    bce = optax_sigmoid_bce(logits, target_score)
+    return {"loss_mal": (bce * weight).mean(axis=1).sum() * nq / num_boxes}
+
+
+def loss_local(outputs, targets, go_g, go_valid, K, T=5.0):
+    """FGL/DDF distillation of FDR corner distributions against the final
+    layer's (teacher) distributions (criterion.py:137-198)."""
+    if "pred_corners" not in outputs or "teacher_corners" not in outputs:
+        return {}
+    pred = outputs["pred_corners"].astype(jnp.float32)     # (B, nq, K, 2*(R+1))
+    teacher = outputs["teacher_corners"].astype(jnp.float32)
+    B, nq = pred.shape[:2]
+    nbins = pred.shape[-1] // 2
+    pc = pred.reshape(B, nq, K * 2, nbins)
+    tc = jax.lax.stop_gradient(teacher.reshape(B, nq, K * 2, nbins))
+
+    # per-query weights: teacher max class prob; matched queries use OKS
+    w = jnp.max(jax.nn.sigmoid(outputs["teacher_logits"].astype(jnp.float32)), -1)
+    bidx = jnp.arange(B)[:, None]
+    g_safe = jnp.where(go_valid, go_g, 0)
+    zp = outputs["pred_keypoints"][..., : 2 * K]
+    zg = targets["keypoints"][bidx, g_safe][..., : 2 * K]
+    vg = targets["keypoints"][bidx, g_safe][..., 2 * K:]
+    area = targets["area"][bidx, g_safe]
+    oks = _pair_oks(zp, zg, vg, area, K)
+    w = jnp.where(go_valid, oks, w)
+    w = jax.lax.stop_gradient(w)[..., None]                # (B, nq, 1)
+
+    logp = jax.nn.log_softmax(pc / T, axis=-1)
+    q = jax.nn.softmax(tc / T, axis=-1)
+    kl = (q * (jnp.log(q + 1e-12) - logp)).sum(-1)         # (B, nq, 2K)
+    kl = kl * (T**2) * w
+
+    mask = jnp.broadcast_to(go_valid[..., None], kl.shape)
+    batch_scale = 8.0 / B
+    num_pos = jnp.sqrt(mask.sum() * batch_scale)
+    num_neg = jnp.sqrt((~mask).sum() * batch_scale)
+    l_pos = jnp.where(mask, kl, 0.0).sum() / jnp.clip(mask.sum(), 1)
+    l_neg = jnp.where(~mask, kl, 0.0).sum() / jnp.clip((~mask).sum(), 1)
+    return {"loss_dfl": (l_pos * num_pos + l_neg * num_neg) / (num_pos + num_neg + 1e-12)}
+
+
 def loss_keypoints(outputs, targets, go_g, go_valid, num_boxes_go, K):
     """L1 + OKS losses at the union matching (criterion.py:200-229)."""
     zp = outputs["pred_keypoints"][..., : 2 * K].astype(jnp.float32)  # (B, nq, 2K)
@@ -146,6 +228,7 @@ def criterion(
     weight_dict: Optional[Dict[str, float]] = None,
     matcher_backend: str = "auction",
     matcher_weights=(2.0, 10.0, 4.0),
+    losses=("vfl", "keypoints"),
 ) -> Dict[str, jax.Array]:
     """Full training loss over final/aux/pre/interm/dn outputs.
 
@@ -176,15 +259,23 @@ def criterion(
     num_boxes = jnp.clip(valid.sum().astype(jnp.float32), 1.0, None)
     num_boxes_go = jnp.clip(go_valid.sum().astype(jnp.float32), 1.0, None)
 
-    losses: Dict[str, jax.Array] = {}
+    out_losses: Dict[str, jax.Array] = {}
 
     def add(dst_suffix, o, idx):
         l = {}
-        l.update(loss_vfl(o, targets, idx, num_boxes, K, num_classes))
-        l.update(loss_keypoints(o, targets, go_g, go_valid, num_boxes_go, K))
+        if "vfl" in losses:
+            l.update(loss_vfl(o, targets, idx, num_boxes, K, num_classes))
+        if "labels" in losses:
+            l.update(loss_labels(o, targets, idx, num_boxes, K, num_classes))
+        if "mal" in losses:
+            l.update(loss_mal(o, targets, idx, num_boxes, K, num_classes))
+        if "keypoints" in losses:
+            l.update(loss_keypoints(o, targets, go_g, go_valid, num_boxes_go, K))
+        if "local" in losses:
+            l.update(loss_local(o, targets, go_g, go_valid, K))
         for k, v in l.items():
             if k in wd:
-                losses[k + dst_suffix] = v * wd[k]
+                out_losses[k + dst_suffix] = v * wd[k]
 
     add("", outputs, idx_final)
     for i, a in enumerate(outputs.get("aux_outputs", [])):
@@ -219,7 +310,7 @@ def criterion(
                                     jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
             for k, v in l.items():
                 if k in wd:
-                    losses[k + f"_dn_{i}"] = v * wd[k]
+                    out_losses[k + f"_dn_{i}"] = v * wd[k]
         if "dn_aux_pre_outputs" in outputs:
             a = outputs["dn_aux_pre_outputs"]
             l = {}
@@ -228,6 +319,6 @@ def criterion(
                                     jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
             for k, v in l.items():
                 if k in wd:
-                    losses[k + "_dn_pre"] = v * wd[k]
+                    out_losses[k + "_dn_pre"] = v * wd[k]
 
-    return losses
+    return out_losses

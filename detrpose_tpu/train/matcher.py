@@ -75,58 +75,74 @@ def match_cost(
     return jnp.where(targets["valid"][:, None, :], c, BIG)
 
 
-def auction_assign(cost: jax.Array, valid: jax.Array, iters: int = 120) -> jax.Array:
-    """Approximate min-cost assignment via Jacobi auction with eps scaling.
+def auction_assign(cost: jax.Array, valid: jax.Array, iters: int = 128) -> jax.Array:
+    """Min-cost assignment via Bertsekas auction with epsilon scaling (pure jnp).
+
+    Columns (GT instances, <= 32) bid for rows (queries). Each unassigned
+    column bids best-minus-second-best + eps on its best query; the highest
+    bidder takes the query, evicting the previous owner. With eps scaling the
+    final matching is within G*eps_final of optimal — in practice identical to
+    scipy LSAP (tested in tests/test_train_stack.py).
 
     Args:
-      cost: (B, nq, G) — columns (GT) bid for rows (queries).
-      valid: (B, G) — which columns participate.
+      cost: (B, nq, G); valid: (B, G).
     Returns:
       assign_q: (B, G) int32, query index per GT (distinct within a batch elem).
     """
     B, nq, G = cost.shape
-    value = -cost.astype(jnp.float32).transpose(0, 2, 1)  # (B, G, nq) higher=better
+    value = -cost.astype(jnp.float32).transpose(0, 2, 1)  # (B, G, nq)
     value = jnp.where(valid[:, :, None], value, -BIG)
-    scale = jnp.maximum(jnp.max(jnp.abs(jnp.where(jnp.abs(value) < BIG / 2, value, 0.0))), 1.0)
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(jnp.where(jnp.abs(value) < BIG / 2, value, 0.0))), 1.0)
+
+    bidx = jnp.arange(B)[:, None]
+    gidx = jnp.arange(G)[None, :]
 
     def run_phase(carry, eps):
-        price, owner = carry  # price (B, nq); owner (B, nq) int32 col idx or -1
+        # Single-phase-per-eps from ZERO prices. For this rectangular problem
+        # (persons = GT columns << objects = queries) the eps-CS optimality
+        # bound needs unassigned objects to keep minimal price, so prices must
+        # NOT carry over between eps phases; with few persons each phase
+        # converges in well under `iters` rounds anyway, and the last (finest
+        # eps) phase determines the returned assignment.
+        del carry
+        price = jnp.zeros((B, nq), jnp.float32)
+        owner = jnp.full((B, nq), -1, jnp.int32)
+        assigned = jnp.full((B, G), -1, jnp.int32)
 
         def body(i, c):
-            price, owner = c
-            # each column computes its current best query
-            net = value - price[:, None, :]           # (B, G, nq)
-            best = jnp.argmax(net, axis=2)            # (B, G)
+            price, owner, assigned = c
+            net = value - price[:, None, :]            # (B, G, nq)
+            best = jnp.argmax(net, axis=2)             # (B, G)
             best_v = jnp.max(net, axis=2)
             second_v = jnp.max(
-                jnp.where(jax.nn.one_hot(best, nq, dtype=bool), -jnp.inf, net), axis=2)
-            bid = best_v - second_v + eps              # (B, G)
-            # column g is "unhappy" if it doesn't own its best query
-            owns = owner[jnp.arange(B)[:, None], best] == jnp.arange(G)[None, :]
-            active = valid & ~owns
-            # highest bid per query wins (resolve ties by lowest column idx)
+                jnp.where(jax.nn.one_hot(best, nq, dtype=bool), -jnp.inf, net),
+                axis=2)
+            bid = best_v - second_v + eps
+            active = valid & (assigned < 0)
             bid_mat = jnp.where(
                 active[:, :, None] & jax.nn.one_hot(best, nq, dtype=bool),
                 bid[:, :, None], -jnp.inf)             # (B, G, nq)
             win_bid = jnp.max(bid_mat, axis=1)         # (B, nq)
-            win_col = jnp.argmax(bid_mat, axis=1)      # (B, nq)
+            win_col = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
             got = win_bid > -jnp.inf
+            new_owner = jnp.where(got, win_col, owner)
             price = jnp.where(got, price + win_bid, price)
-            owner = jnp.where(got, win_col, owner)
-            return price, owner
+            # previously assigned columns keep their query iff still the owner
+            q_safe = jnp.maximum(assigned, 0)
+            still = (assigned >= 0) & (new_owner[bidx, q_safe] == gidx)
+            # winners: column g won iff it was active and now owns its best
+            won = active & (new_owner[bidx, best] == gidx) & got[bidx, best]
+            assigned = jnp.where(won, best.astype(jnp.int32),
+                                 jnp.where(still, assigned, -1))
+            return price, new_owner, assigned
 
-        price, owner = jax.lax.fori_loop(0, iters, body, (price, owner))
-        return (price, owner), None
+        price, owner, assigned = jax.lax.fori_loop(
+            0, iters, body, (price, owner, assigned))
+        return (price, owner, assigned), None
 
-    price0 = jnp.zeros((B, nq), jnp.float32)
-    owner0 = jnp.full((B, nq), -1, jnp.int32)
-    eps_schedule = jnp.asarray([0.1, 0.01, 1e-3]) * scale
-    (price, owner), _ = jax.lax.scan(run_phase, (price0, owner0), eps_schedule)
-
-    # invert owner -> assign per column
-    col_match = owner[:, None, :] == jnp.arange(G)[None, :, None]  # (B, G, nq)
-    assign_q = jnp.argmax(col_match, axis=2).astype(jnp.int32)
-    return assign_q
+    (price, owner, assigned), _ = run_phase(None, 1e-3 * scale)
+    return jnp.maximum(assigned, 0)
 
 
 def scipy_assign(cost: jax.Array, valid: jax.Array) -> jax.Array:

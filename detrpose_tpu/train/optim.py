@@ -48,8 +48,11 @@ def make_optimizer(
     milestones: Sequence[int] = (),
     gamma: float = 0.1,
     warmup_steps: int = 0,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW with a backbone lr multiplier, clipping, and MultiStep schedule."""
+    """AdamW with a backbone lr multiplier, clipping, MultiStep schedule, and
+    optional gradient accumulation (reference: engine.py:43-60 sequential
+    micro-batches -> optax.MultiSteps)."""
     sched_main = multistep_schedule(base_lr, milestones, gamma, warmup_steps)
     sched_bb = multistep_schedule(backbone_lr, milestones, gamma, warmup_steps)
 
@@ -70,6 +73,8 @@ def make_optimizer(
     )
     if clip_max_norm and clip_max_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
 
 

@@ -11,7 +11,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 # This environment's JAX defaults matmuls to low precision (TPU-style bf16
-# passes) even on CPU; parity tests need true f32 accumulation.
+# passes) even on CPU; parity tests need true f32 accumulation. jax may already
+# be imported by a pytest plugin, so set platform via the config API too (the
+# sandbox presets JAX_PLATFORMS=axon at process start).
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
