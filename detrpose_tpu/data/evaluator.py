@@ -170,6 +170,30 @@ class KeypointEvaluator:
 
     def accumulate(self):
         img_ids = sorted(self.gts.keys())
+        self._accumulate_for(img_ids)
+        # CrowdPose easy/medium/hard splits by image crowdIndex
+        # (xtcocotools iou_type 'keypoints_crowd').
+        self.crowd_stats = {}
+        if self.crowd_index is not None:
+            splits = {
+                "easy": [i for i in img_ids if self.crowd_index.get(i, 0) <= 0.1],
+                "medium": [i for i in img_ids
+                           if 0.1 < self.crowd_index.get(i, 0) <= 0.8],
+                "hard": [i for i in img_ids if self.crowd_index.get(i, 0) > 0.8],
+            }
+            main_p, main_r = self.precision, self.recall
+            for name, ids in splits.items():
+                if not ids:
+                    self.crowd_stats[f"AP_{name}"] = -1.0
+                    continue
+                self._accumulate_for(ids)
+                x = self.precision[:, :, 0]
+                x = x[x > -1]
+                self.crowd_stats[f"AP_{name}"] = float(x.mean()) if x.size else -1.0
+            self.precision, self.recall = main_p, main_r
+        return self.precision, self.recall
+
+    def _accumulate_for(self, img_ids):
         T = len(self.iou_thrs)
         R = len(self.rec_thrs)
         A = len(self.area_rngs)
@@ -230,4 +254,5 @@ class KeypointEvaluator:
             "AR": ar(), "AR50": ar(t=0), "AR75": ar(t=5),
             "AR_medium": ar(a=1), "AR_large": ar(a=2),
         }
+        stats.update(getattr(self, "crowd_stats", {}))
         return stats

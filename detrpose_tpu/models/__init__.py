@@ -3,6 +3,7 @@ from .hybrid_encoder import HybridEncoder
 from .transformer import Transformer
 from .decoder import TransformerDecoder, DeformableDecoderLayer, MSDeformAttn, LQE
 from .detrpose import DETRPose
+from .resnet import ResNet
 from .postprocess import postprocess
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "MSDeformAttn",
     "LQE",
     "DETRPose",
+    "ResNet",
     "postprocess",
 ]

@@ -1,0 +1,112 @@
+"""Benchmark + model-info tools.
+
+Replicates the reference benchmark suite on TPU:
+  * get_info (tools/benchmark/get_info.py): params + FLOPs at (1, 640, 640, 3),
+    from XLA's compiled cost analysis instead of calflops.
+  * latency protocol (tools/benchmark/torch_benchmark.py:34-51): warmup, many
+    iterations, report the average of the fastest segment; plus batched
+    throughput (the TPU serving configuration).
+
+Usage:
+  python -m detrpose_tpu.tools.benchmark --sizes n s m l x --batch 1 32
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def model_info(size: str, num_body_points: int = 17, res: int = 640):
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import model_config, build_model
+
+    cfg = model_config(size, num_body_points=num_body_points)
+    model = build_model(cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
+                           train=False))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    lowered = fwd.lower(
+        jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), dict(shapes)),
+        jax.ShapeDtypeStruct((1, res, res, 3), jnp.float32))
+    try:
+        ca = lowered.compile().cost_analysis()
+        gflops = ca.get("flops", float("nan")) / 1e9
+    except Exception:
+        gflops = float("nan")
+    return {"size": size, "params_M": round(n_params / 1e6, 2),
+            "gflops_640": round(gflops, 1)}
+
+
+def bench_size(size: str, batch: int, res: int = 640, bf16: bool = True,
+               warmup: int = 10, iters: int = 50, num_body_points: int = 17):
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import model_config, build_model
+    from ..models import postprocess
+
+    cfg = model_config(size, num_body_points=num_body_points,
+                       dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    model = build_model(cfg)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)), train=False))()
+    jax.block_until_ready(variables)
+
+    @jax.jit
+    def fwd(v, x, ts):
+        return postprocess(model.apply(v, x, train=False), ts,
+                           num_body_points=num_body_points)
+
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.uniform(0, 1, (batch, res, res, 3)).astype(np.float32))
+          for _ in range(4)]
+    ts = jnp.full((batch, 2), float(res), jnp.float32)
+    out = fwd(variables, xs[0], ts)
+    jax.block_until_ready(out)
+    for i in range(warmup):
+        out = fwd(variables, xs[i % 4], ts)
+    jax.block_until_ready(out)
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = fwd(variables, xs[i % 4], ts)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(sorted(times))
+    fastest = times[: max(1, iters // 10)].mean()  # avg of fastest 10%
+    return {
+        "size": size, "batch": batch, "res": res, "bf16": bf16,
+        "latency_ms": round(float(np.median(times)) * 1000, 3),
+        "fastest_ms": round(float(fastest) * 1000, 3),
+        "images_per_sec": round(batch / float(np.median(times)), 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", nargs="+", default=["n", "s", "m", "l", "x"])
+    p.add_argument("--batch", nargs="+", type=int, default=[1, 32])
+    p.add_argument("--res", type=int, default=640)
+    p.add_argument("--info-only", action="store_true")
+    p.add_argument("--iters", type=int, default=50)
+    args = p.parse_args()
+
+    for size in args.sizes:
+        print(json.dumps(model_info(size, res=args.res)))
+        if args.info_only:
+            continue
+        for b in args.batch:
+            print(json.dumps(bench_size(size, b, args.res, iters=args.iters)))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,7 +83,10 @@ class EMA:
 
     @staticmethod
     def init(params):
-        return {"params": jax.tree.map(jnp.asarray, params),
+        # Copy (not alias) so state.params and state.ema.params are distinct
+        # buffers — donation of the TrainState would otherwise see the same
+        # buffer twice.
+        return {"params": jax.tree.map(lambda p: jnp.array(p, copy=True), params),
                 "updates": jnp.zeros((), jnp.int32)}
 
     @staticmethod

@@ -56,6 +56,7 @@ class Trainer:
         save_interval: int = 1,
         n_devices: Optional[int] = None,
         log_fn=print,
+        tensorboard: bool = True,
     ):
         self.model = model
         self.cfg = model_cfg
@@ -103,6 +104,25 @@ class Trainer:
         )
         self.start_epoch = 0
         self.best_ap = -1.0
+        # TensorBoard scalars (reference: trainer.py:130-134, engine.py:99-107).
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf  # noqa: F401
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(output_dir, "tb"))
+            except Exception:
+                self._tb = None
+
+    def _tb_scalars(self, step: int, scalars: Dict[str, float], prefix: str = ""):
+        if self._tb is None:
+            return
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for k, v in scalars.items():
+                tf.summary.scalar(prefix + k, float(v), step=step)
 
     # ----------------------------------------------------------------- train
     def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -178,6 +198,8 @@ class Trainer:
         for epoch in range(self.start_epoch, self.epochs):
             train_stats = self.train_one_epoch(epoch)
             stats = self.evaluate()
+            self._tb_scalars(epoch, train_stats, "train/")
+            self._tb_scalars(epoch, stats, "eval/")
             ap = stats.get("AP", -1.0)
             if epoch % self.save_interval == 0 or ap > self.best_ap:
                 save_checkpoint(os.path.join(self.output_dir, "checkpoint"),

@@ -174,6 +174,51 @@ def _walk_stats(tree, prefix, sd, consumed):
     return out
 
 
+def load_pretrained_backbone_encoder(
+    sd: Mapping[str, Any], variables: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Transfer-learning import: load backbone + encoder weights only,
+    keeping the (randomly initialized) decoder.
+
+    Reference semantics: Trainer.pretrain strips ``decoder.*`` keys from
+    D-FINE checkpoints and loads the rest (src/solver/trainer.py:444-451).
+
+    Args:
+      sd: torch state_dict (D-FINE or DETRPose layout).
+      variables: freshly initialized flax variables (templates AND values).
+
+    Returns:
+      variables with backbone/encoder leaves replaced by converted weights.
+    """
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in sd.items() if not k.startswith(("decoder.", "transformer."))}
+    consumed: set = set()
+
+    def walk(tree, prefix):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                out[k] = walk(v, prefix + (k,))
+            else:
+                out[k] = _convert_leaf(prefix + (k,), v.shape, sd, consumed).astype(np.float32)
+        return out
+
+    import jax
+    import jax.numpy as jnp
+
+    new = {c: dict(t) for c, t in variables.items()}
+    for coll in list(new.keys()):
+        for part in ("backbone", "encoder"):
+            if part in new[coll]:
+                if coll == "params":
+                    converted = walk(variables[coll][part], (part,))
+                else:
+                    converted = _walk_stats(
+                        variables[coll][part], (part,), sd, consumed)
+                new[coll][part] = jax.tree.map(jnp.asarray, converted)
+    return new
+
+
 def load_torch_checkpoint(path: str, prefer_ema: bool = True) -> Dict[str, np.ndarray]:
     """Load a reference zoo .pth into a flat numpy state_dict."""
     import torch
