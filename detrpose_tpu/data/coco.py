@@ -40,6 +40,10 @@ class CocoKeypointDataset:
         with open(ann_file) as f:
             coco = json.load(f)
         self.images = {im["id"]: im for im in coco["images"]}
+        # CrowdPose images carry a crowdIndex used for AP-easy/medium/hard.
+        self.crowd_index = {
+            im["id"]: im["crowdIndex"] for im in coco["images"] if "crowdIndex" in im
+        } or None
         self.anns_by_img: Dict[int, List[dict]] = {}
         for ann in coco.get("annotations", []):
             if ann.get("category_id", 1) != 1 and not self._person_cat(coco, ann):

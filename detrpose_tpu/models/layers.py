@@ -333,7 +333,9 @@ class MultiHeadAttention(nn.Module):
         logits = jnp.einsum("...hqd,...hkd->...hqk", qh, kh) / math.sqrt(dh)
         if attn_mask is not None:
             if attn_mask.dtype == jnp.bool_:
-                logits = jnp.where(attn_mask, jnp.asarray(-jnp.inf, logits.dtype), logits)
+                # Finite fill: a fully-masked row (e.g. unused static CDN slots)
+                # must yield finite (uniform) weights, not NaN.
+                logits = jnp.where(attn_mask, jnp.asarray(-1e9, logits.dtype), logits)
             else:
                 logits = logits + attn_mask
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(logits.dtype)

@@ -86,6 +86,9 @@ class Transformer(nn.Module):
             bias_init=nn.initializers.constant(-np.log((1 - 0.01) / 0.01)),
             dtype=self.dtype, name="enc_out_class_embed",
         )(output_memory)  # (B, S, num_classes)
+        assert memory.shape[1] >= nq, (
+            f"input too small: {memory.shape[1]} anchors < num_queries={nq}; "
+            f"increase resolution (min {int(np.ceil(np.sqrt(nq)))}x the coarsest stride)")
         topk_idx = jax.lax.top_k(enc_class.max(-1), nq)[1]  # (B, nq)
 
         topk_memory = jnp.take_along_axis(output_memory, topk_idx[..., None], axis=1)
@@ -230,6 +233,6 @@ class Transformer(nn.Module):
             }
             out["dn_meta"] = {
                 "pad_size": pad,
-                "num_dn_group": dn["num_dn_group"],
+                "num_dn_group": dn["dn_match"]["num_group"],
             }
         return out

@@ -148,6 +148,9 @@ def build_cdn(
         attn[s:e, s:e] = False                             # own group visible
     attn[pad_size:cfg.pad_cap, :] = True                   # unused slots see nothing
     attn[:, pad_size:cfg.pad_cap] = True                   # nothing sees unused
+    # ... except themselves, so their attention rows stay well-defined.
+    for i in range(pad_size, cfg.pad_cap):
+        attn[i, i] = False
 
     # fabricated positive indices (criterion.py:389-402)
     mq = np.zeros((B, cfg.match_cap), np.int32)

@@ -77,7 +77,7 @@ class Trainer:
         steps_per_epoch = len(train_loader) if train_loader is not None else 1
         params_shape = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 64, 64, 3)), train=True)
+                               jnp.zeros((1, 128, 128, 3)), train=True)
         )["params"]
         self.tx = make_optimizer(
             params_shape, lr, backbone_lr, weight_decay=weight_decay,
@@ -87,7 +87,7 @@ class Trainer:
         )
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(0),
-            jnp.zeros((1, 64, 64, 3)), use_ema=use_ema)
+            jnp.zeros((1, 128, 128, 3)), use_ema=use_ema)
         self.state = jax.device_put(self.state, self.repl)
 
         self._step = make_train_step(
