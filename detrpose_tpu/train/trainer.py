@@ -179,13 +179,22 @@ class Trainer:
                   if (use_ema and self.state.ema is not None) else self.state.params)
         variables = {"params": params, "batch_stats": self.state.batch_stats}
         ev = KeypointEvaluator(self.val_gts, self.cfg.num_body_points)
+        n_dev = len(self.mesh.devices.reshape(-1))
         with self.mesh:
             for batch in self.val_loader:
-                img = jax.device_put(jnp.asarray(batch["images"]), self.shard_b)
-                ts = jax.device_put(jnp.asarray(batch["orig_sizes"], ), self.shard_b)
+                imgs = batch["images"]
+                sizes = batch["orig_sizes"]
+                n_real = imgs.shape[0]
+                # pad the last partial batch so it shards evenly over the mesh
+                if n_real % n_dev:
+                    padn = n_dev - (n_real % n_dev)
+                    imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padn, 0)])
+                    sizes = np.concatenate([sizes, np.repeat(sizes[-1:], padn, 0)])
+                img = jax.device_put(jnp.asarray(imgs), self.shard_b)
+                ts = jax.device_put(jnp.asarray(sizes), self.shard_b)
                 scores, labels, kpts = self._jit_eval(variables, img, ts)
                 scores, kpts = np.asarray(scores), np.asarray(kpts)
-                for b, img_id in enumerate(batch["image_ids"]):
+                for b, img_id in enumerate(batch["image_ids"][:n_real]):
                     ev.update(int(img_id), scores[b], kpts[b])
         ev.accumulate()
         stats = ev.summarize()

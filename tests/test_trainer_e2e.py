@@ -1,0 +1,64 @@
+"""End-to-end Trainer smoke: fit one epoch on synthetic data + evaluate.
+
+Exercises the full lifecycle: loader -> CDN -> sharded train step -> EMA ->
+checkpoint -> eval decode -> OKS AP evaluator -> log.txt.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from synth_data import make_tiny_coco
+
+K = 17
+
+
+@pytest.mark.slow
+def test_trainer_fit_and_eval(tmp_path):
+    from detrpose_tpu.configs import model_config, build_model
+    from detrpose_tpu.data.coco import CocoKeypointDataset
+    from detrpose_tpu.data.transforms import TrainTransforms, EvalTransforms
+    from detrpose_tpu.data.loader import KeypointLoader
+    from detrpose_tpu.train.trainer import Trainer
+
+    img_dir, ann_file = make_tiny_coco(str(tmp_path), n_images=4, w=160, h=160)
+    mcfg = model_config("n")
+    model = build_model(mcfg)
+
+    tds = CocoKeypointDataset(
+        img_dir, ann_file, K, train=True,
+        transforms=TrainTransforms(out_size=160, num_keypoints=K,
+                                   policy_epochs=(99, 100, 101)))  # no heavy augs
+    train_loader = KeypointLoader(tds, batch_size=2, num_keypoints=K, train=True,
+                                  base_size=160, num_queries=mcfg.num_queries)
+    vds = CocoKeypointDataset(img_dir, ann_file, K, train=False,
+                              transforms=EvalTransforms(out_size=160))
+    val_loader = KeypointLoader(vds, batch_size=2, num_keypoints=K, train=False,
+                                with_cdn=False, drop_last=False)
+    val_gts = {
+        i: {"anns": [
+            {"keypoints": np.asarray(a["keypoints"], np.float64).reshape(K, 3),
+             "area": a["area"], "bbox": a["bbox"], "iscrowd": 0,
+             "num_keypoints": K}
+            for a in vds.anns_by_img.get(i, [])
+        ]}
+        for i in vds.ids
+    }
+
+    out_dir = str(tmp_path / "out")
+    trainer = Trainer(model, mcfg, train_loader, val_loader, val_gts,
+                      output_dir=out_dir, epochs=1, tensorboard=False,
+                      n_devices=2)  # batch 2 must divide the mesh
+    best = trainer.fit()
+    # AP is near zero with 1 epoch of random init; the contract is: it ran,
+    # losses were finite, artifacts exist.
+    assert os.path.exists(os.path.join(out_dir, "log.txt"))
+    with open(os.path.join(out_dir, "log.txt")) as f:
+        rec = json.loads(f.readline())
+    assert np.isfinite(rec["train_loss_total"])
+    assert "AP" in rec
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint"))
+    # resume restores
+    trainer.resume(os.path.join(out_dir, "checkpoint"))
+    assert trainer.start_epoch == 1
