@@ -40,6 +40,12 @@ class ModelConfig:
     dec_n_points: int = 4
     reg_max: int = 32
     reg_scale: float = 4.0
+    # experimental energy refinement (reference energy configs)
+    use_energy_refinement: bool = False
+    energy_steps: int = 3
+    energy_step_size: float = 0.1
+    grad_energy: bool = False
+    energy_decrease_weight: float = 0.0
     # runtime
     dtype: Any = jnp.float32
 
@@ -98,6 +104,11 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         dim_feedforward=cfg.dec_dim_feedforward,
         num_feature_levels=cfg.n_levels, dec_n_points=cfg.dec_n_points,
         num_classes=cfg.num_classes, num_body_points=cfg.num_body_points,
-        reg_max=cfg.reg_max, reg_scale=cfg.reg_scale, dtype=cfg.dtype,
+        reg_max=cfg.reg_max, reg_scale=cfg.reg_scale,
+        use_energy_refinement=cfg.use_energy_refinement,
+        energy_steps=cfg.energy_steps, energy_step_size=cfg.energy_step_size,
+        grad_energy=cfg.grad_energy,
+        energy_decrease_weight=cfg.energy_decrease_weight,
+        dtype=cfg.dtype,
     )
     return DETRPose(backbone=backbone, encoder=encoder, transformer=transformer)

@@ -43,6 +43,8 @@ class KeypointLoader:
         num_queries: int = 60,
         seed: int = 0,
         drop_last: bool = True,
+        mixup_prob: float = 0.0,
+        mixup_epochs=(4, 29),
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -60,6 +62,8 @@ class KeypointLoader:
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last
+        self.mixup_prob = mixup_prob
+        self.mixup_epochs = mixup_epochs
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -85,6 +89,27 @@ class KeypointLoader:
                 h, w = imgs[-1].shape[:2]
                 tgts.append(normalize_target(t, w, h, self.K))
             images = np.stack(imgs)  # (B, H, W, 3)
+
+            # Mixup (reference: dataloader.py:108-172, off in shipped configs):
+            # blend each image with a batch-rolled partner and take the union
+            # of their targets.
+            if (self.train and self.mixup_prob > 0
+                    and self.mixup_epochs[0] <= self.epoch < self.mixup_epochs[1]
+                    and rng.random() < self.mixup_prob and len(imgs) > 1):
+                beta = round(rng.uniform(0.45, 0.55), 6)
+                images = images * (1 - beta) + np.roll(images, 1, axis=0) * beta
+                rolled = tgts[-1:] + tgts[:-1]
+                tgts = [
+                    {
+                        "image_id": t["image_id"],
+                        "orig_size": t["orig_size"],
+                        "boxes": np.concatenate([t["boxes"], r["boxes"]]),
+                        "labels": np.concatenate([t["labels"], r["labels"]]),
+                        "keypoints": np.concatenate([t["keypoints"], r["keypoints"]]),
+                        "area": np.concatenate([t["area"], r["area"]]),
+                    }
+                    for t, r in zip(tgts, rolled)
+                ]
 
             # per-batch multi-scale resize (train only, before stop_epoch)
             if self.scales and self.epoch < self.multiscale_stop_epoch:

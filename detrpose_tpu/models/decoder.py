@@ -132,6 +132,12 @@ class DeformableDecoderLayer(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    # Energy-head mode (reference: transformer.py:297-298, :327-329, :397-440):
+    # the layer maps an (…, energy_in_dim) state to a scalar energy per token.
+    is_energy: bool = False
+    energy_in_dim: int = 68
+    energy_out_dim: int = 1
+    normalize_energy: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -144,6 +150,8 @@ class DeformableDecoderLayer(nn.Module):
         spatial_shapes: Sequence[Tuple[int, int]],
         attn_mask: Optional[jax.Array] = None,  # (nq, nq) bool, True = blocked
     ) -> jax.Array:
+        if self.is_energy:
+            tgt = nn.Dense(self.d_model, dtype=self.dtype, name="energy_expand")(tgt)
         B, nq, T, d = tgt.shape  # T = 1 + K
 
         # -- within-instance self-attention (pos added in place, see module doc)
@@ -177,6 +185,13 @@ class DeformableDecoderLayer(nn.Module):
         ff = get_activation(self.activation)(ff)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
+        if self.is_energy:
+            if self.normalize_energy:
+                from .layers import RMSNorm
+
+                x = RMSNorm(self.d_model, dtype=self.dtype, name="input_n_energy")(x)
+            x = nn.Dense(self.energy_out_dim, use_bias=False, dtype=self.dtype,
+                         name="energy_reduce")(x)
         return x
 
 
@@ -200,6 +215,15 @@ class TransformerDecoder(nn.Module):
     lqe_topk: int = 4
     lqe_hidden: int = 256
     lqe_layers: int = 2
+    # Experimental energy-based refinement (reference: transformer.py:731-901,
+    # config-gated, off in all canonical zoo models). jax.grad replaces the
+    # reference's eval-time torch.autograd.grad (engine.py:133).
+    use_energy_refinement: bool = False
+    energy_steps: int = 3
+    energy_step_size: float = 0.1
+    grad_energy: bool = False
+    energy_decrease_weight: float = 0.0
+    normalize_energy: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -229,7 +253,9 @@ class TransformerDecoder(nn.Module):
                              name="half_pose_ref_point_head")
 
         eval_idx = self.num_layers - 1
+        energy_reg = jnp.zeros((), jnp.float32)
         for layer_id in range(self.num_layers):
+            layer_ref = refpoint_pose   # reference points fed to this layer
             ref_only_pose = refpoint_pose[:, :, 1:]  # (B, nq, K, 2)
             sine = sine_embedding_2d(ref_only_pose, self.hidden_dim).astype(out.dtype)
             query_pos = ref_point_head(sine)
@@ -270,6 +296,13 @@ class TransformerDecoder(nn.Module):
                 logit = LQE(self.lqe_topk, self.lqe_hidden, self.lqe_layers, K,
                             dtype=self.dtype, name=f"lqe_head_{layer_id}")(
                     score, kpts, feat_lqe)
+
+                # -- experimental energy-based refinement on the final layer
+                if self.use_energy_refinement and layer_id == self.num_layers - 1:
+                    corners, kpts, logit, energy_reg = self._energy_refine(
+                        corners, kpts, logit, query_pos, layer_ref,
+                        value_levels, spatial_shapes, attn_mask)
+
                 dec_logits.append(logit)
                 dec_poses.append(kpts)
                 dec_corners.append(corners)
@@ -291,4 +324,60 @@ class TransformerDecoder(nn.Module):
             jnp.stack(dec_refs),      # (L', B, nq, K, 2)
             pre_poses,                # (B, nq, K, 2)
             pre_scores,               # (B, nq, num_classes)
+            energy_reg,               # scalar regulariser (0 unless energy mode)
         )
+
+    def _energy_refine(self, corners, kpts, logit, query_pos, layer_ref,
+                       value_levels, spatial_shapes, attn_mask):
+        """Gradient-descent refinement on an energy landscape.
+
+        Reference: transformer.py:731-901. The refinement state z packs the FDR
+        corner logits + keypoints per keypoint token plus a tiled logit row;
+        an is_energy decoder layer maps z to per-token energies; z descends
+        either the energy's gradient (grad_energy) or the raw energy. The
+        reference's eval-time torch.autograd.grad is jax.grad here — no special
+        eval mode needed.
+        """
+        B, nq, K, nc = corners.shape
+        C = logit.shape[-1]
+        zdim = nc + 2
+        z_pose = jnp.concatenate([corners, kpts], axis=-1)        # (B, nq, K, zdim)
+        z_logit = jnp.tile(logit[..., None, :], (1, 1, 1, zdim // C))
+        z = jnp.concatenate([z_pose, z_logit], axis=-2)           # (B, nq, K+1, zdim)
+
+        energy_layer = DeformableDecoderLayer(
+            self.hidden_dim, self.d_ffn, self.activation, self.n_levels,
+            self.n_heads, self.n_points, is_energy=True, energy_in_dim=zdim,
+            energy_out_dim=1, normalize_energy=self.normalize_energy,
+            dtype=self.dtype, name="energy_layer")
+
+        step_size = self.param(
+            "energy_step_size",
+            nn.initializers.constant(self.energy_step_size), (1,))
+        lam = self.energy_decrease_weight
+
+        def e_mean(zz):
+            E = energy_layer(zz, query_pos, layer_ref, value_levels,
+                             spatial_shapes, attn_mask)
+            return E.reshape(E.shape[0], -1).mean(1)
+
+        reg = jnp.zeros((), jnp.float32)
+        e_prev = None
+        for _ in range(self.energy_steps):
+            E_raw = energy_layer(z, query_pos, layer_ref, value_levels,
+                                 spatial_shapes, attn_mask)
+            e_safe = E_raw.reshape(E_raw.shape[0], -1).mean(1)
+            if e_prev is not None and lam > 0:
+                reg = reg + lam * jax.nn.relu(
+                    e_safe - jax.lax.stop_gradient(e_prev)).mean()
+            e_prev = e_safe
+            if self.grad_energy:
+                g = jax.grad(lambda zz: e_mean(zz).sum())(z)
+                z = z - step_size * g
+            else:
+                z = z - step_size * E_raw
+
+        corners = z[..., :-1, :nc]
+        kpts = z[..., :-1, nc:]
+        logit = z[..., -1, 0:C]
+        return corners, kpts, logit, reg

@@ -58,6 +58,12 @@ class Transformer(nn.Module):
     reg_max: int = 32
     reg_scale: float = 4.0
     up: float = 0.5
+    # experimental energy refinement (see decoder.TransformerDecoder)
+    use_energy_refinement: bool = False
+    energy_steps: int = 3
+    energy_step_size: float = 0.1
+    grad_energy: bool = False
+    energy_decrease_weight: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -143,7 +149,8 @@ class Transformer(nn.Module):
 
         project = weighting_function(self.reg_max, self.up, self.reg_scale)
 
-        (out_poses, out_logits, out_corners, out_refs, pre_poses, pre_scores) = (
+        (out_poses, out_logits, out_corners, out_refs, pre_poses, pre_scores,
+         energy_reg) = (
             TransformerDecoder(
                 num_layers=self.num_decoder_layers,
                 hidden_dim=hd,
@@ -156,6 +163,11 @@ class Transformer(nn.Module):
                 num_classes=self.num_classes,
                 reg_max=self.reg_max,
                 reg_scale=self.reg_scale,
+                use_energy_refinement=self.use_energy_refinement,
+                energy_steps=self.energy_steps,
+                energy_step_size=self.energy_step_size,
+                grad_energy=self.grad_energy,
+                energy_decrease_weight=self.energy_decrease_weight,
                 dtype=self.dtype,
                 name="decoder",
             )(tgt_tokens, refpoints, value_levels, spatial_shapes, feats[0],
@@ -189,6 +201,7 @@ class Transformer(nn.Module):
         out = {
             "pred_logits": logits[-1],
             "pred_keypoints": poses[-1],
+            "energy_reg_loss": energy_reg,
             "pred_corners": corners[-1],
             "ref_points": refs[-1],
             "up": self.up,

@@ -75,6 +75,9 @@ def make_train_step(
             total = jnp.asarray(0.0, jnp.float32)
             for v in losses.values():
                 total = total + v.astype(jnp.float32)
+            # energy regulariser pass-through (reference: engine.py:55
+            # `+ model.module.layer_loss`)
+            total = total + jnp.asarray(out.get("energy_reg_loss", 0.0), jnp.float32)
             return total, (losses, mut["batch_stats"])
 
         (total, (losses, new_stats)), grads = jax.value_and_grad(
