@@ -40,6 +40,13 @@ class ModelConfig:
     dec_n_points: int = 4
     reg_max: int = 32
     reg_scale: float = 4.0
+    # experimental decoder branches (reference experimental configs)
+    use_modulation: bool = False
+    use_region_sampling: bool = False
+    region_kernel_size: int = 1
+    use_global_context: bool = False
+    use_kan: bool = False
+    kan_grid: int = 3
     # experimental energy refinement (reference energy configs)
     use_energy_refinement: bool = False
     energy_steps: int = 3
@@ -105,6 +112,11 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         num_feature_levels=cfg.n_levels, dec_n_points=cfg.dec_n_points,
         num_classes=cfg.num_classes, num_body_points=cfg.num_body_points,
         reg_max=cfg.reg_max, reg_scale=cfg.reg_scale,
+        use_modulation=cfg.use_modulation,
+        use_region_sampling=cfg.use_region_sampling,
+        region_kernel_size=cfg.region_kernel_size,
+        use_global_context=cfg.use_global_context,
+        use_kan=cfg.use_kan, kan_grid=cfg.kan_grid,
         use_energy_refinement=cfg.use_energy_refinement,
         energy_steps=cfg.energy_steps, energy_step_size=cfg.energy_step_size,
         grad_energy=cfg.grad_energy,

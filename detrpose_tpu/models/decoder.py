@@ -62,6 +62,11 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    # Experimental branches (reference defaults: all off, ms_deform_attn.py:197-211)
+    use_modulation: bool = False
+    use_region_sampling: bool = False
+    region_kernel_size: int = 1
+    use_global_context: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -74,6 +79,17 @@ class MSDeformAttn(nn.Module):
     ) -> jax.Array:
         B, Lq, _ = query.shape
         nH, nL, nP = self.n_heads, self.n_levels, self.n_points
+
+        # optional global-context conditioning (ms_deform_attn.py:369-382)
+        if self.use_global_context:
+            pooled = jnp.concatenate(
+                [v.mean(axis=(1, 2, 3)) for v in value_levels], axis=-1)  # (B, dh*nL)
+            ctx = nn.Dense(self.d_model, dtype=self.dtype, name="global_proj")(pooled)
+            gate = jax.nn.sigmoid(
+                nn.Dense(self.d_model, kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.constant(2.0),
+                         dtype=self.dtype, name="global_gate")(query))
+            query = query + gate * ctx[:, None, :]
 
         offsets = nn.Dense(
             nH * nL * nP * 2,
@@ -89,6 +105,36 @@ class MSDeformAttn(nn.Module):
         )(query).reshape(B, Lq, nH, nL * nP)
         aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1).astype(query.dtype)
         aw = aw.reshape(B, Lq, nH, nL, nP)
+
+        # optional per-sample modulation (ms_deform_attn.py:398-409): the
+        # modulated sample is value * sigmoid(LN(mod) + bias); since the core
+        # reduction is linear, folding it into the attention weights is exact.
+        if self.use_modulation:
+            mod = nn.Dense(nH * nL * nP, use_bias=False,
+                           kernel_init=nn.initializers.zeros,
+                           dtype=self.dtype, name="sampling_modulation",
+                           )(query).reshape(B, Lq, nH, nL, nP)
+            mod = nn.LayerNorm(epsilon=1e-5, reduction_axes=(-2, -1),
+                               feature_axes=(-2, -1), dtype=self.dtype,
+                               name="mod_layernorm")(mod)
+            mod_bias = self.param("mod_bias", nn.initializers.constant(2.0),
+                                  (1, 1, nH, nL, nP))
+            aw = aw * jax.nn.sigmoid(mod + mod_bias)
+
+        # optional region sampling: average-pool the value maps before the
+        # bilinear gather (ms_deform_attn.py:168-170).
+        if self.use_region_sampling and self.region_kernel_size > 1:
+            k = self.region_kernel_size
+            p = k // 2
+            value_levels = [
+                jnp.mean(
+                    jnp.stack([
+                        jnp.pad(v, [(0, 0), (p, p), (p, p), (0, 0), (0, 0)])[
+                            :, i:i + v.shape[1], j:j + v.shape[2]]
+                        for i in range(k) for j in range(k)
+                    ]), axis=0)
+                for v in value_levels
+            ]
 
         # loc = ref + offset / (W_l, H_l)  (ms_deform_attn.py:412-416)
         normalizer = jnp.asarray(
@@ -132,6 +178,14 @@ class DeformableDecoderLayer(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    # Experimental MSDeformAttn branches (all default-off, like the reference).
+    use_modulation: bool = False
+    use_region_sampling: bool = False
+    region_kernel_size: int = 1
+    use_global_context: bool = False
+    # FastKAN FFN variant (reference: transformer.py:371-385, use_kan configs).
+    use_kan: bool = False
+    kan_grid: int = 3
     # Energy-head mode (reference: transformer.py:297-298, :327-329, :397-440):
     # the layer maps an (…, energy_in_dim) state to a scalar energy per token.
     is_energy: bool = False
@@ -175,15 +229,29 @@ class DeformableDecoderLayer(nn.Module):
         q = x.reshape(B, nq * T, d)
         refs = reference_points.reshape(B, nq * T, 2)
         ca = MSDeformAttn(self.d_model, self.n_levels, self.n_heads, self.n_points,
+                          use_modulation=self.use_modulation,
+                          use_region_sampling=self.use_region_sampling,
+                          region_kernel_size=self.region_kernel_size,
+                          use_global_context=self.use_global_context,
                           dtype=self.dtype, name="cross_attn")(
             q, refs, value_levels, spatial_shapes)
         x = Gate(self.d_model, dtype=self.dtype, name="gateway")(
             x, ca.reshape(B, nq, T, d))
 
-        # -- FFN
-        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(x)
-        ff = get_activation(self.activation)(ff)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        # -- FFN (MLP or FastKAN; reference: transformer.py:371-385)
+        if self.use_kan:
+            from .layers import FastKANLayer
+
+            ff = FastKANLayer(self.d_model, self.d_ffn, grid_size=self.kan_grid,
+                              dtype=self.dtype, name="kan1")(x)
+            ff = jax.nn.relu(ff)
+            ff = FastKANLayer(self.d_ffn, self.d_ffn, grid_size=self.kan_grid,
+                              dtype=self.dtype, name="kan2")(ff)
+            ff = nn.Dense(self.d_model, dtype=self.dtype, name="out_linear")(ff)
+        else:
+            ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(x)
+            ff = get_activation(self.activation)(ff)
+            ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + ff)
         if self.is_energy:
             if self.normalize_energy:
@@ -215,6 +283,13 @@ class TransformerDecoder(nn.Module):
     lqe_topk: int = 4
     lqe_hidden: int = 256
     lqe_layers: int = 2
+    # Experimental layer branches (config-gated, off in canonical zoo models).
+    use_modulation: bool = False
+    use_region_sampling: bool = False
+    region_kernel_size: int = 1
+    use_global_context: bool = False
+    use_kan: bool = False
+    kan_grid: int = 3
     # Experimental energy-based refinement (reference: transformer.py:731-901,
     # config-gated, off in all canonical zoo models). jax.grad replaces the
     # reference's eval-time torch.autograd.grad (engine.py:133).
@@ -262,7 +337,13 @@ class TransformerDecoder(nn.Module):
 
             out = DeformableDecoderLayer(
                 self.hidden_dim, self.d_ffn, self.activation, self.n_levels,
-                self.n_heads, self.n_points, dtype=self.dtype,
+                self.n_heads, self.n_points,
+                use_modulation=self.use_modulation,
+                use_region_sampling=self.use_region_sampling,
+                region_kernel_size=self.region_kernel_size,
+                use_global_context=self.use_global_context,
+                use_kan=self.use_kan, kan_grid=self.kan_grid,
+                dtype=self.dtype,
                 name=f"layers_{layer_id}",
             )(out, query_pos, refpoint_pose, value_levels, spatial_shapes, attn_mask)
 

@@ -359,6 +359,39 @@ class Gate(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(g1 * x1 + g2 * x2)
 
 
+class FastKANLayer(nn.Module):
+    """RBF approximation of KAN edge-splines (reference: transformer.py:32-141).
+
+    Experimental FFN variant (use_kan configs). x -> LN -> tanh grid coords ->
+    Gaussian RBF basis -> einsum with per-(inner, dim) coefficients -> linear.
+    """
+    in_features: int
+    out_features: int
+    grid_size: int = 21
+    sigma: float = 1.0
+    use_layernorm: bool = True
+    init_scale: float = 1e-2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        r = self.in_features // 2 + 1
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, self.in_features)
+        if self.use_layernorm:
+            xf = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(xf)
+        u = (jnp.tanh(xf) + 1.0) * 0.5 * (self.grid_size - 1)   # (N, D)
+        centers = jnp.arange(self.grid_size, dtype=jnp.float32)
+        diff = u[..., None] - centers                            # (N, D, G)
+        basis = jnp.exp(-((diff / (self.sigma + 1e-12)) ** 2))
+        coeffs = self.param(
+            "coeffs", nn.initializers.normal(self.init_scale),
+            (r, self.in_features, self.grid_size))
+        s = jnp.einsum("bdg,rdg->br", basis, coeffs.astype(basis.dtype))
+        out = nn.Dense(self.out_features, dtype=self.dtype, name="out_linear")(s)
+        return out.reshape(lead + (self.out_features,))
+
+
 class RMSNorm(nn.Module):
     """RMS normalisation. Reference: src/models/detrpose/utils.py:140-183."""
     dim: int

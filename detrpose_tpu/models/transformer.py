@@ -58,6 +58,13 @@ class Transformer(nn.Module):
     reg_max: int = 32
     reg_scale: float = 4.0
     up: float = 0.5
+    # experimental decoder-layer branches (see decoder.DeformableDecoderLayer)
+    use_modulation: bool = False
+    use_region_sampling: bool = False
+    region_kernel_size: int = 1
+    use_global_context: bool = False
+    use_kan: bool = False
+    kan_grid: int = 3
     # experimental energy refinement (see decoder.TransformerDecoder)
     use_energy_refinement: bool = False
     energy_steps: int = 3
@@ -163,6 +170,11 @@ class Transformer(nn.Module):
                 num_classes=self.num_classes,
                 reg_max=self.reg_max,
                 reg_scale=self.reg_scale,
+                use_modulation=self.use_modulation,
+                use_region_sampling=self.use_region_sampling,
+                region_kernel_size=self.region_kernel_size,
+                use_global_context=self.use_global_context,
+                use_kan=self.use_kan, kan_grid=self.kan_grid,
                 use_energy_refinement=self.use_energy_refinement,
                 energy_steps=self.energy_steps,
                 energy_step_size=self.energy_step_size,
