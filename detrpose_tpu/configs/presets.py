@@ -45,6 +45,12 @@ class ModelConfig:
     use_region_sampling: bool = False
     region_kernel_size: int = 1
     use_global_context: bool = False
+    use_grouped_offsets: bool = False
+    num_groups: int = 1
+    use_grid_attention: bool = False
+    grid_num_points: int = 16
+    use_grid_offsets: bool = False
+    use_grid_fusion: bool = True
     use_kan: bool = False
     kan_grid: int = 3
     # experimental energy refinement (reference energy configs)
@@ -116,6 +122,12 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         use_region_sampling=cfg.use_region_sampling,
         region_kernel_size=cfg.region_kernel_size,
         use_global_context=cfg.use_global_context,
+        use_grouped_offsets=cfg.use_grouped_offsets,
+        num_groups=cfg.num_groups,
+        use_grid_attention=cfg.use_grid_attention,
+        grid_num_points=cfg.grid_num_points,
+        use_grid_offsets=cfg.use_grid_offsets,
+        use_grid_fusion=cfg.use_grid_fusion,
         use_kan=cfg.use_kan, kan_grid=cfg.kan_grid,
         use_energy_refinement=cfg.use_energy_refinement,
         energy_steps=cfg.energy_steps, energy_step_size=cfg.energy_step_size,

@@ -67,6 +67,12 @@ class MSDeformAttn(nn.Module):
     use_region_sampling: bool = False
     region_kernel_size: int = 1
     use_global_context: bool = False
+    use_grouped_offsets: bool = False
+    num_groups: int = 1
+    use_grid_attention: bool = False
+    grid_num_points: int = 16
+    use_grid_offsets: bool = False
+    use_grid_fusion: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -91,12 +97,22 @@ class MSDeformAttn(nn.Module):
                          dtype=self.dtype, name="global_gate")(query))
             query = query + gate * ctx[:, None, :]
 
+        G = self.num_groups if self.use_grouped_offsets else 1
+        nHG = nH * G
+
         offsets = nn.Dense(
-            nH * nL * nP * 2,
+            nH * nL * nP * 2 * G,
             kernel_init=nn.initializers.zeros,
-            bias_init=_msda_offset_bias_init(nH, nL, nP),
+            bias_init=(_msda_offset_bias_init(nH, nL, nP) if G == 1
+                       else nn.initializers.zeros),
             dtype=self.dtype, name="sampling_offsets",
-        )(query).reshape(B, Lq, nH, nL, nP, 2)
+        )(query)
+        if G > 1:
+            # (ms_deform_attn.py:386-388): per-group offsets, head-major order.
+            offsets = offsets.reshape(B, Lq, nH, nL, nP, G, 2).transpose(
+                0, 1, 2, 5, 3, 4, 6).reshape(B, Lq, nHG, nL, nP, 2)
+        else:
+            offsets = offsets.reshape(B, Lq, nH, nL, nP, 2)
 
         aw = nn.Dense(
             nH * nL * nP,
@@ -105,21 +121,36 @@ class MSDeformAttn(nn.Module):
         )(query).reshape(B, Lq, nH, nL * nP)
         aw = jax.nn.softmax(aw.astype(jnp.float32), axis=-1).astype(query.dtype)
         aw = aw.reshape(B, Lq, nH, nL, nP)
+        if G > 1:
+            aw = jnp.repeat(aw[:, :, :, None], G, axis=3).reshape(B, Lq, nHG, nL, nP)
 
         # optional per-sample modulation (ms_deform_attn.py:398-409): the
         # modulated sample is value * sigmoid(LN(mod) + bias); since the core
         # reduction is linear, folding it into the attention weights is exact.
         if self.use_modulation:
-            mod = nn.Dense(nH * nL * nP, use_bias=False,
+            mod = nn.Dense(nH * nL * nP * G, use_bias=False,
                            kernel_init=nn.initializers.zeros,
                            dtype=self.dtype, name="sampling_modulation",
-                           )(query).reshape(B, Lq, nH, nL, nP)
+                           )(query)
+            if G > 1:
+                mod = mod.reshape(B, Lq, nH, nL, nP, G).transpose(
+                    0, 1, 2, 5, 3, 4).reshape(B, Lq, nHG, nL, nP)
+            else:
+                mod = mod.reshape(B, Lq, nH, nL, nP)
             mod = nn.LayerNorm(epsilon=1e-5, reduction_axes=(-2, -1),
                                feature_axes=(-2, -1), dtype=self.dtype,
                                name="mod_layernorm")(mod)
             mod_bias = self.param("mod_bias", nn.initializers.constant(2.0),
-                                  (1, 1, nH, nL, nP))
+                                  (1, 1, nHG, nL, nP))
             aw = aw * jax.nn.sigmoid(mod + mod_bias)
+
+        # grouped offsets split each head's channels into G sub-heads
+        # (ms_deform_attn.py:427-436).
+        if G > 1:
+            value_levels = [
+                v.reshape(v.shape[0], v.shape[1], v.shape[2], nHG, -1)
+                for v in value_levels
+            ]
 
         # optional region sampling: average-pool the value maps before the
         # bilinear gather (ms_deform_attn.py:168-170).
@@ -141,7 +172,54 @@ class MSDeformAttn(nn.Module):
             [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32
         ).reshape(1, 1, 1, nL, 1, 2)
         loc = reference_points[:, :, None, None, None, :] + offsets / normalizer
-        return ms_deform_attn(value_levels, loc, aw)
+        local_out = ms_deform_attn(value_levels, loc, aw)
+
+        # optional coarse grid-attention branch (ms_deform_attn.py:446-510):
+        # a fixed gs x gs grid of global sampling points per level, optionally
+        # with predicted offsets, fused with the local branch.
+        if self.use_grid_attention:
+            Pg = self.grid_num_points
+            gs = int(math.isqrt(Pg))
+            assert gs * gs == Pg, "grid_num_points must be a perfect square"
+            centers = (np.arange(gs, dtype=np.float32) + 0.5) / gs
+            yy, xx = np.meshgrid(centers, centers, indexing="ij")
+            base = jnp.asarray(
+                np.stack([xx.reshape(-1), yy.reshape(-1)], -1))  # (Pg, 2)
+            base = jnp.broadcast_to(
+                base[None, None, None, None], (B, Lq, nHG, nL, Pg, 2))
+
+            gaw = nn.Dense(
+                nH * nL * Pg,
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+                dtype=self.dtype, name="grid_attention_weights",
+            )(query).reshape(B, Lq, nH, nL * Pg)
+            gaw = jax.nn.softmax(gaw.astype(jnp.float32), axis=-1).astype(query.dtype)
+            gaw = gaw.reshape(B, Lq, nH, nL, Pg)
+            if G > 1:
+                gaw = jnp.repeat(gaw[:, :, :, None], G, axis=3).reshape(
+                    B, Lq, nHG, nL, Pg)
+
+            if self.use_grid_offsets:
+                goff = nn.Dense(
+                    nH * nL * Pg * 2 * G, kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    dtype=self.dtype, name="grid_offsets")(query)
+                if G > 1:
+                    goff = goff.reshape(B, Lq, nH, nL, Pg, G, 2).transpose(
+                        0, 1, 2, 5, 3, 4, 6).reshape(B, Lq, nHG, nL, Pg, 2)
+                else:
+                    goff = goff.reshape(B, Lq, nH, nL, Pg, 2)
+                grid_loc = base + goff / normalizer
+            else:
+                grid_loc = base
+            grid_out = ms_deform_attn(value_levels, grid_loc, gaw)
+            if self.use_grid_fusion:
+                return nn.Dense(self.d_model, dtype=self.dtype,
+                                name="grid_fuse_proj")(
+                    jnp.concatenate([local_out, grid_out], axis=-1))
+            return local_out + grid_out
+
+        return local_out
 
 
 class LQE(nn.Module):
@@ -183,6 +261,12 @@ class DeformableDecoderLayer(nn.Module):
     use_region_sampling: bool = False
     region_kernel_size: int = 1
     use_global_context: bool = False
+    use_grouped_offsets: bool = False
+    num_groups: int = 1
+    use_grid_attention: bool = False
+    grid_num_points: int = 16
+    use_grid_offsets: bool = False
+    use_grid_fusion: bool = True
     # FastKAN FFN variant (reference: transformer.py:371-385, use_kan configs).
     use_kan: bool = False
     kan_grid: int = 3
@@ -233,6 +317,12 @@ class DeformableDecoderLayer(nn.Module):
                           use_region_sampling=self.use_region_sampling,
                           region_kernel_size=self.region_kernel_size,
                           use_global_context=self.use_global_context,
+                          use_grouped_offsets=self.use_grouped_offsets,
+                          num_groups=self.num_groups,
+                          use_grid_attention=self.use_grid_attention,
+                          grid_num_points=self.grid_num_points,
+                          use_grid_offsets=self.use_grid_offsets,
+                          use_grid_fusion=self.use_grid_fusion,
                           dtype=self.dtype, name="cross_attn")(
             q, refs, value_levels, spatial_shapes)
         x = Gate(self.d_model, dtype=self.dtype, name="gateway")(
@@ -288,6 +378,12 @@ class TransformerDecoder(nn.Module):
     use_region_sampling: bool = False
     region_kernel_size: int = 1
     use_global_context: bool = False
+    use_grouped_offsets: bool = False
+    num_groups: int = 1
+    use_grid_attention: bool = False
+    grid_num_points: int = 16
+    use_grid_offsets: bool = False
+    use_grid_fusion: bool = True
     use_kan: bool = False
     kan_grid: int = 3
     # Experimental energy-based refinement (reference: transformer.py:731-901,
@@ -342,6 +438,12 @@ class TransformerDecoder(nn.Module):
                 use_region_sampling=self.use_region_sampling,
                 region_kernel_size=self.region_kernel_size,
                 use_global_context=self.use_global_context,
+                use_grouped_offsets=self.use_grouped_offsets,
+                num_groups=self.num_groups,
+                use_grid_attention=self.use_grid_attention,
+                grid_num_points=self.grid_num_points,
+                use_grid_offsets=self.use_grid_offsets,
+                use_grid_fusion=self.use_grid_fusion,
                 use_kan=self.use_kan, kan_grid=self.kan_grid,
                 dtype=self.dtype,
                 name=f"layers_{layer_id}",

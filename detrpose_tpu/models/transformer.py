@@ -63,6 +63,12 @@ class Transformer(nn.Module):
     use_region_sampling: bool = False
     region_kernel_size: int = 1
     use_global_context: bool = False
+    use_grouped_offsets: bool = False
+    num_groups: int = 1
+    use_grid_attention: bool = False
+    grid_num_points: int = 16
+    use_grid_offsets: bool = False
+    use_grid_fusion: bool = True
     use_kan: bool = False
     kan_grid: int = 3
     # experimental energy refinement (see decoder.TransformerDecoder)
@@ -174,6 +180,12 @@ class Transformer(nn.Module):
                 use_region_sampling=self.use_region_sampling,
                 region_kernel_size=self.region_kernel_size,
                 use_global_context=self.use_global_context,
+                use_grouped_offsets=self.use_grouped_offsets,
+                num_groups=self.num_groups,
+                use_grid_attention=self.use_grid_attention,
+                grid_num_points=self.grid_num_points,
+                use_grid_offsets=self.use_grid_offsets,
+                use_grid_fusion=self.use_grid_fusion,
                 use_kan=self.use_kan, kan_grid=self.kan_grid,
                 use_energy_refinement=self.use_energy_refinement,
                 energy_steps=self.energy_steps,

@@ -59,3 +59,20 @@ def test_modulation_matches_reference_core_semantics():
         t_values, shapes, torch.from_numpy(loc), torch.from_numpy(aw),
         sampling_modulation=torch.from_numpy(mod))
     np.testing.assert_allclose(ours, t_out.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("flags", [
+    {"use_grouped_offsets": True, "num_groups": 2},
+    {"use_grid_attention": True, "grid_num_points": 4},
+    {"use_grid_attention": True, "grid_num_points": 4, "use_grid_offsets": True,
+     "use_grid_fusion": False},
+    {"use_grouped_offsets": True, "num_groups": 2, "use_modulation": True},
+])
+def test_grouped_and_grid_branches(flags):
+    cfg = model_config("n", **flags)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(out["pred_keypoints"])).all()
+    assert np.isfinite(np.asarray(out["pred_logits"])).all()
