@@ -35,34 +35,38 @@ def compute_oks(det_kpts, gt_kpts, gt_areas, sigmas, use_area=True, gt_boxes=Non
     ious = np.zeros((D, G), np.float64)
     if D == 0 or G == 0:
         return ious
-    var = (sigmas * 2) ** 2
-    for g in range(G):
-        xg, yg, vg = gt_kpts[g, :, 0], gt_kpts[g, :, 1], gt_kpts[g, :, 2]
-        k1 = (vg > 0).sum()
-        if use_area:
-            norm = gt_areas[g]
-        else:
-            # xtcocotools keypoints_crowd: box area
-            box = gt_boxes[g]
-            norm = box[2] * box[3] * 0.53
-        for d in range(D):
-            xd, yd = det_kpts[d, :, 0], det_kpts[d, :, 1]
-            if k1 > 0:
-                dx = xd - xg
-                dy = yd - yg
-            else:
-                # no visible gt kpts: measure distance to the gt box perimeter
-                box = gt_boxes[g] if gt_boxes is not None else None
-                if box is None:
-                    continue
-                x0, y0 = box[0] - box[2], box[1] - box[3]
-                x1, y1 = box[0] + box[2] * 2, box[1] + box[3] * 2
-                dx = np.maximum(x0 - xd, 0) + np.maximum(xd - x1, 0)
-                dy = np.maximum(y0 - yd, 0) + np.maximum(yd - y1, 0)
-            e = (dx**2 + dy**2) / var / (norm + np.spacing(1)) / 2
-            if k1 > 0:
-                e = e[vg > 0]
-            ious[d, g] = np.sum(np.exp(-e)) / e.shape[0] if e.shape[0] > 0 else 0.0
+    var = (sigmas * 2) ** 2  # (K,)
+
+    if use_area:
+        norms = np.asarray(gt_areas, np.float64)
+    else:
+        norms = gt_boxes[:, 2] * gt_boxes[:, 3] * 0.53
+    norms = norms + np.spacing(1)
+
+    # vectorized main case: gts with >= 1 visible keypoint
+    vg = gt_kpts[:, :, 2] > 0                              # (G, K)
+    dx = det_kpts[None, :, :, 0] - gt_kpts[:, None, :, 0]  # (G, D, K)
+    dy = det_kpts[None, :, :, 1] - gt_kpts[:, None, :, 1]
+    e = (dx**2 + dy**2) / var[None, None] / norms[:, None, None] / 2.0
+    w = vg[:, None, :]
+    nvis = np.maximum(vg.sum(1), 1)[:, None]               # (G, 1)
+    oks = (np.exp(-e) * w).sum(-1) / nvis                  # (G, D)
+    has_vis = vg.any(1)
+    ious[:, has_vis] = oks[has_vis].T
+
+    # fallback: gts with no visible keypoints -> distance to the expanded box
+    # (COCOeval computeOks else-branch)
+    for g in np.nonzero(~has_vis)[0]:
+        if gt_boxes is None:
+            continue
+        box = gt_boxes[g]
+        x0, y0 = box[0] - box[2], box[1] - box[3]
+        x1, y1 = box[0] + box[2] * 2, box[1] + box[3] * 2
+        xd, yd = det_kpts[:, :, 0], det_kpts[:, :, 1]      # (D, K)
+        bdx = np.maximum(x0 - xd, 0) + np.maximum(xd - x1, 0)
+        bdy = np.maximum(y0 - yd, 0) + np.maximum(yd - y1, 0)
+        eb = (bdx**2 + bdy**2) / var[None] / norms[g] / 2.0
+        ious[:, g] = np.exp(-eb).mean(1)
     return ious
 
 

@@ -162,14 +162,21 @@ class HGNetv2(nn.Module):
     """Multi-scale CNN backbone; returns features at the requested stages.
 
     Reference: hgnetv2.py:386-593. ``return_idx`` selects stages (stride 4/8/16/32).
+    ``freeze_norm=True`` (the reference default) keeps every backbone BatchNorm
+    in inference mode during training — the FrozenBatchNorm2d semantics of
+    hgnetv2.py:24-60; the affine params are additionally masked out of the
+    optimizer (train/optim.py).
     """
     arch: str = "B4"
     use_lab: bool = False
     return_idx: Sequence[int] = (1, 2, 3)
+    freeze_norm: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        if self.freeze_norm:
+            train = False  # BN stays in eval mode; convs still get gradients
         stem_channels, stage_config = ARCH_CONFIGS[self.arch]
         x = StemBlock(stem_channels[1], stem_channels[2], use_lab=self.use_lab,
                       dtype=self.dtype, name="stem")(x, train)

@@ -49,6 +49,7 @@ def make_optimizer(
     gamma: float = 0.1,
     warmup_steps: int = 0,
     grad_accum_steps: int = 1,
+    freeze_backbone_norm: bool = True,
 ) -> optax.GradientTransformation:
     """AdamW with a backbone lr multiplier, clipping, MultiStep schedule, and
     optional gradient accumulation (reference: engine.py:43-60 sequential
@@ -57,18 +58,26 @@ def make_optimizer(
     sched_bb = multistep_schedule(backbone_lr, milestones, gamma, warmup_steps)
 
     def label_fn(tree):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "backbone" if path and getattr(path[0], "key", "") == "backbone"
-            else "main",
-            tree,
-        )
+        def label(path, _):
+            keys = [getattr(p, "key", "") for p in path]
+            if keys and keys[0] == "backbone":
+                # FrozenBatchNorm semantics (reference hgnetv2.py:24-60,
+                # freeze_norm=True in all shipped configs): BN affine params
+                # in the backbone receive no updates.
+                if freeze_backbone_norm and "bn" in keys:
+                    return "frozen"
+                return "backbone"
+            return "main"
+
+        return jax.tree_util.tree_map_with_path(label, tree)
 
     def adamw(sched):
         return optax.adamw(sched, b1=betas[0], b2=betas[1],
                            weight_decay=weight_decay)
 
     tx = optax.multi_transform(
-        {"main": adamw(sched_main), "backbone": adamw(sched_bb)},
+        {"main": adamw(sched_main), "backbone": adamw(sched_bb),
+         "frozen": optax.set_to_zero()},
         label_fn(params),
     )
     if clip_max_norm and clip_max_norm > 0:
