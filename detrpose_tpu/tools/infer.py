@@ -110,12 +110,14 @@ def main():
         h, w = img.shape[:2]
         scores, labels, kpts = run(variables, jnp.asarray(img),
                                    jnp.asarray([w, h], jnp.float32))
-        vis = draw_poses(img[:, :, ::-1], np.asarray(kpts)[0], np.asarray(scores)[0],
+        vis = draw_poses(img[:, :, ::-1],
+                         np.asarray(kpts, np.float32)[0],
+                         np.asarray(scores, np.float32)[0],
                          args.thresh, args.num_body_points)
         import cv2
         cv2.imwrite(out_path, vis)
         print(f"{path} -> {out_path} "
-              f"({(np.asarray(scores)[0] > args.thresh).sum()} poses)")
+              f"({(np.asarray(scores, np.float32)[0] > args.thresh).sum()} poses)")
 
     def infer_video(path, out_path):
         import cv2
@@ -133,7 +135,9 @@ def main():
             rgb = frame[:, :, ::-1]
             scores, labels, kpts = run(variables, jnp.asarray(rgb.copy()),
                                        jnp.asarray([w, h], jnp.float32))
-            vw.write(draw_poses(frame, np.asarray(kpts)[0], np.asarray(scores)[0],
+            vw.write(draw_poses(frame,
+                                np.asarray(kpts, np.float32)[0],
+                                np.asarray(scores, np.float32)[0],
                                 args.thresh, args.num_body_points))
             n += 1
         cap.release()
