@@ -93,7 +93,8 @@ def bench_size(size: str, batch: int, res: int = 640, bf16: bool = True,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--sizes", nargs="+", default=["n", "s", "m", "l", "x"])
+    p.add_argument("--sizes", nargs="+", default=["n", "s", "m", "l", "x"],
+                   choices=["n", "s", "m", "l", "x"])
     p.add_argument("--batch", nargs="+", type=int, default=[1, 32])
     p.add_argument("--res", type=int, default=640)
     p.add_argument("--info-only", action="store_true")

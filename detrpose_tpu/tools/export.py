@@ -99,7 +99,7 @@ def load_exported(out_dir: str):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", default="l")
+    p.add_argument("--size", default="l", choices=["n", "s", "m", "l", "x"])
     p.add_argument("--num-body-points", type=int, default=17)
     p.add_argument("--ckpt")
     p.add_argument("--batch", type=int, default=32)

@@ -91,7 +91,7 @@ def build_pipeline(size: str, num_body_points: int, ckpt: str | None,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", default="l")
+    p.add_argument("--size", default="l", choices=["n", "s", "m", "l", "x"])
     p.add_argument("--num-body-points", type=int, default=17)
     p.add_argument("--ckpt", help="reference .pth checkpoint (converted on load)")
     p.add_argument("--input", required=True)

@@ -201,6 +201,50 @@ class Trainer:
         self.log("eval: " + json.dumps({k: round(v, 4) for k, v in stats.items()}))
         return stats
 
+    # ------------------------------------------------------------------ test
+    def test(self, out_path: Optional[str] = None, use_ema: Optional[bool] = None,
+             score_thresh: float = 0.0) -> str:
+        """Run inference over val_loader and write a COCO results.json
+        (test-dev submission format; reference: trainer.py:324-341)."""
+        assert self.val_loader is not None
+        use_ema = self.use_ema if use_ema is None else use_ema
+        params = (self.state.ema["params"]
+                  if (use_ema and self.state.ema is not None) else self.state.params)
+        variables = {"params": params, "batch_stats": self.state.batch_stats}
+        results = []
+        n_dev = len(self.mesh.devices.reshape(-1))
+        with self.mesh:
+            for batch in self.val_loader:
+                imgs = batch["images"]
+                sizes = batch["orig_sizes"]
+                n_real = imgs.shape[0]
+                if n_real % n_dev:
+                    padn = n_dev - (n_real % n_dev)
+                    imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padn, 0)])
+                    sizes = np.concatenate([sizes, np.repeat(sizes[-1:], padn, 0)])
+                scores, labels, kpts = self._jit_eval(
+                    variables,
+                    jax.device_put(jnp.asarray(imgs), self.shard_b),
+                    jax.device_put(jnp.asarray(sizes), self.shard_b))
+                scores = np.asarray(scores, np.float32)
+                kpts = np.asarray(kpts, np.float32)
+                for b, img_id in enumerate(batch["image_ids"][:n_real]):
+                    for s, k in zip(scores[b], kpts[b]):
+                        if s < score_thresh:
+                            continue
+                        results.append({
+                            "image_id": int(img_id),
+                            "category_id": 1,
+                            "keypoints": [round(float(v), 2)
+                                          for v in k.reshape(-1)],
+                            "score": float(s),
+                        })
+        out_path = out_path or os.path.join(self.output_dir, "results.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f)
+        self.log(f"wrote {len(results)} detections to {out_path}")
+        return out_path
+
     # ------------------------------------------------------------------- fit
     def fit(self):
         log_path = os.path.join(self.output_dir, "log.txt")

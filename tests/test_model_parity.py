@@ -127,3 +127,51 @@ def test_stagewise_parity_exact():
                                out_t["pred_logits"].numpy(), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_j["pred_keypoints"]),
                                out_t["pred_keypoints"].numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_load_torch_checkpoint_zoo_layout(tmp_path):
+    """Zoo .pth layout ({'model':…, 'ema': {'module':…}}) loads + converts."""
+    from detrpose_tpu.utils.convert import load_torch_checkpoint
+
+    torch.manual_seed(0)
+    ref_model, cfg = build_reference_model("n", eval_hw=(128, 128))
+    sd = ref_model.state_dict()
+    path = str(tmp_path / "zoo.pth")
+    torch.save({"model": sd, "ema": {"module": sd}, "epoch": 51}, path)
+
+    loaded = load_torch_checkpoint(path, prefer_ema=True)
+    assert "backbone.stem.stem1.conv.weight" in loaded
+
+    model = build_model(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                           train=True))
+    variables = convert_state_dict(loaded, dict(template))
+    out = model.apply(variables, jnp.zeros((1, 128, 128, 3)), train=False)
+    assert np.isfinite(np.asarray(out["pred_keypoints"])).all()
+
+
+def test_pretrain_backbone_encoder_import():
+    """Transfer-learning path: backbone+encoder weights load, decoder stays
+    randomly initialized (reference: trainer.py:444-451)."""
+    from detrpose_tpu.utils.convert import load_pretrained_backbone_encoder
+
+    torch.manual_seed(0)
+    ref_model, cfg = build_reference_model("n", eval_hw=(128, 128))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()
+          if not k.startswith("transformer.")}
+
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                           train=True)
+    old_dec = np.asarray(
+        jax.tree.leaves(variables["params"]["transformer"])[0]).copy()
+    new_vars = load_pretrained_backbone_encoder(sd, dict(variables))
+    # backbone now matches torch
+    tw = sd["backbone.stem.stem1.conv.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(new_vars["params"]["backbone"]["stem"]["stem1"]["conv"]["kernel"]),
+        tw, rtol=1e-6)
+    # decoder untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new_vars["params"]["transformer"])[0]), old_dec)

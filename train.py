@@ -25,6 +25,8 @@ def main():
     p.add_argument("--val-ann")
     p.add_argument("--resume")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--test", action="store_true",
+                   help="write results.json (test-dev submission format)")
     p.add_argument("--output-dir")
     p.add_argument("--batch-size", type=int)
     p.add_argument("--epochs", type=int)
@@ -53,7 +55,7 @@ def main():
     train_loader = val_loader = None
     val_gts = None
     K = cfg.num_body_points
-    if args.img_dir and args.ann and not args.eval:
+    if args.img_dir and args.ann and not (args.eval or args.test):
         tds = CocoKeypointDataset(
             args.img_dir, args.ann, K, train=True,
             transforms=TrainTransforms(
@@ -95,7 +97,9 @@ def main():
     )
     if args.resume:
         trainer.resume(args.resume)
-    if args.eval:
+    if args.test:
+        trainer.test()
+    elif args.eval:
         print(json.dumps(trainer.evaluate()))
     else:
         trainer.fit()
