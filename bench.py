@@ -36,7 +36,7 @@ def main():
     # Rotate distinct inputs so no call can be elided or cached.
     xs = [
         jnp.asarray(rng.uniform(0, 1, (batch, res, res, 3)).astype(np.float32))
-        for _ in range(4)
+        for _ in range(8)
     ]
     x = xs[0]
     ts = jnp.full((batch, 2), float(res), jnp.float32)
