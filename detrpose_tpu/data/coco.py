@@ -110,7 +110,7 @@ class CocoKeypointDataset:
     def __getitem__(self, idx: int):
         img, target = self.load_raw(idx)
         if self.transforms is not None:
-            img, target = self.transforms(img, target, dataset=self)
+            img, target = self.transforms(img, target, dataset=self, index=idx)
         return img, target
 
 
@@ -141,8 +141,12 @@ def normalize_target(target: Dict, w: int, h: int, num_keypoints: int) -> Dict:
     }
 
 
-def pad_targets(targets: List[Dict], max_gt: int = 32) -> Dict[str, np.ndarray]:
-    """Stack per-image normalized targets into padded batch arrays."""
+def pad_targets(targets: List[Dict], max_gt: int = 64) -> Dict[str, np.ndarray]:
+    """Stack per-image normalized targets into padded batch arrays.
+
+    max_gt=64 covers mosaic (4 images' targets) and mixup (2 images') unions;
+    instances beyond the cap are dropped (rare at 64).
+    """
     B = len(targets)
     K3 = targets[0]["keypoints"].shape[-1] if targets else 0
     out = {

@@ -106,7 +106,12 @@ class KeypointEvaluator:
         """Add detections for an image: scores (D,), keypoints (D, K, 3)."""
         self.dets.setdefault(int(image_id), [])
         for s, k in zip(np.asarray(scores), np.asarray(keypoints)):
-            self.dets[int(image_id)].append({"score": float(s), "keypoints": k})
+            # detection area = keypoint bbox area (pycocotools loadRes for
+            # keypoint results), used for area-range ignore below
+            xs, ys = k[:, 0], k[:, 1]
+            area = float((xs.max() - xs.min()) * (ys.max() - ys.min()))
+            self.dets[int(image_id)].append(
+                {"score": float(s), "keypoints": k, "area": area})
 
     def merge(self, others: Sequence["KeypointEvaluator"]):
         for o in others:
@@ -131,6 +136,7 @@ class KeypointEvaluator:
         order = np.argsort([int(i) for i in gt_ignore], kind="stable")
         gt = [gt[i] for i in order]
         gt_ignore = np.asarray([gt_ignore[i] for i in order])
+        gt_iscrowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gt])
 
         if len(gt) and len(dt):
             det_k = np.stack([d["keypoints"] for d in dt])
@@ -151,7 +157,9 @@ class KeypointEvaluator:
                 iou = min(thr, 1 - 1e-10)
                 m = -1
                 for g in range(G):
-                    if gtm[t, g] >= 0 and not gt_ignore[g]:
+                    # already-matched gts can only be re-matched if iscrowd
+                    # (pycocotools evaluateImg)
+                    if gtm[t, g] >= 0 and not gt_iscrowd[g]:
                         continue
                     if m > -1 and not gt_ignore[m] and gt_ignore[g]:
                         break  # past matchable non-ignore gts
@@ -164,6 +172,12 @@ class KeypointEvaluator:
                 dtm[t, d] = m
                 gtm[t, m] = d
                 dt_ignore[t, d] = gt_ignore[m]
+        # unmatched detections whose own area is outside the range are ignored
+        # in that split (pycocotools: dtIg |= (dtm==0) & (d area outside aRng))
+        if D:
+            d_area = np.asarray([d.get("area", 0.0) for d in dt])
+            out_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
+            dt_ignore |= (dtm < 0) & out_rng[None, :]
         return {
             "dt_scores": np.asarray([d["score"] for d in dt]),
             "dtm": dtm,

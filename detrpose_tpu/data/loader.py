@@ -35,7 +35,7 @@ class KeypointLoader:
         batch_size: int,
         num_keypoints: int = 17,
         train: bool = False,
-        max_gt: int = 32,
+        max_gt: int = 64,
         base_size: int = 640,
         base_size_repeat: Optional[int] = None,
         multiscale_stop_epoch: int = 48,

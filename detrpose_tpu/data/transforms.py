@@ -31,7 +31,7 @@ def hflip(img: Image.Image, target: Dict, num_keypoints: int = 17):
         t["boxes"] = boxes.astype(np.float32)
     kp = t["keypoints"].copy()
     if len(kp):
-        kp[:, :, 0] = w - kp[:, :, 0]
+        kp[:, :, 0] = w - kp[:, :, 0] - 1  # reference: transforms.py:94 (w - x - 1)
         kp[kp[:, :, 2] == 0] = 0  # unannotated stay zero
         pairs = FLIP_PAIRS_17 if num_keypoints == 17 else FLIP_PAIRS_14
         for a, b in pairs:
@@ -188,15 +188,15 @@ class TrainTransforms:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __call__(self, img, target, dataset=None):
+    def __call__(self, img, target, dataset=None, index=None):
         rng = self.rng
         e = self.epoch
         p0, p1, p2 = self.policy_epochs
         heavy_on = p0 <= e < p2
 
-        if heavy_on and rng.random() < 0.5 and self.use_mosaic and dataset is not None and e < p1:
-            img, target = mosaic(dataset, dataset.ids.index(target["image_id"]),
-                                 rng, self.out_size, self.K)
+        if (heavy_on and rng.random() < 0.5 and self.use_mosaic
+                and dataset is not None and index is not None and e < p1):
+            img, target = mosaic(dataset, index, rng, self.out_size, self.K)
         elif heavy_on:
             if rng.random() < 0.5:
                 img, target = random_zoom_out(img, target, rng)
@@ -216,5 +216,5 @@ class EvalTransforms:
     def __init__(self, out_size: int = 640):
         self.out_size = out_size
 
-    def __call__(self, img, target, dataset=None):
+    def __call__(self, img, target, dataset=None, index=None):
         return resize(img, target, (self.out_size, self.out_size))

@@ -31,18 +31,23 @@ from ..ops.pos_embed import sine_embedding_2d
 _class_bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
 
 
-def _msda_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+def _msda_offset_bias_init(n_heads: int, n_levels: int, n_points: int,
+                           num_groups: int = 1):
     """Circle-pattern init of sampling-offset biases (ms_deform_attn.py:293-312).
 
-    The reference zeroes the bias when n_points % 4 != 0 (e.g. the N model's
-    dec_n_points=6).
+    The reference zeroes the bias when n_points % 4 != 0 with a single group
+    (e.g. the N model's dec_n_points=6); for num_groups>1 the circle pattern is
+    tiled over the groups (ms_deform_attn.py:301-303).
     """
-    if n_points % 4 != 0:
+    if n_points % 4 != 0 and num_groups == 1:
         return nn.initializers.zeros
     thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (nH, 2)
     grid = grid / np.abs(grid).max(-1, keepdims=True)
-    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    # (nH, nL, nP, G, 2): layout matches the Dense output reshape
+    # (B, Lq, nH, nL, nP, G, 2) used when G > 1.
+    grid = np.tile(grid[:, None, None, None, :],
+                   (1, n_levels, n_points, num_groups, 1))
     flat = grid.reshape(-1)
 
     def init(key, shape, dtype=jnp.float32):
@@ -103,8 +108,7 @@ class MSDeformAttn(nn.Module):
         offsets = nn.Dense(
             nH * nL * nP * 2 * G,
             kernel_init=nn.initializers.zeros,
-            bias_init=(_msda_offset_bias_init(nH, nL, nP) if G == 1
-                       else nn.initializers.zeros),
+            bias_init=_msda_offset_bias_init(nH, nL, nP, G),
             dtype=self.dtype, name="sampling_offsets",
         )(query)
         if G > 1:
@@ -239,8 +243,8 @@ class LQE(nn.Module):
         sampled = bilinear_grid_sample(feat, grid)  # (B, L, K, C)
         topv = jax.lax.top_k(sampled, self.topk)[0]  # (B, L, K, topk)
         stat = jnp.concatenate([topv, topv.mean(axis=-1, keepdims=True)], axis=-1)
-        q = MLP(self.hidden_dim, 1, self.num_layers, dtype=self.dtype,
-                name="reg_conf")(stat.reshape(B, L, -1))
+        q = MLP(self.hidden_dim, 1, self.num_layers, zero_init_last=True,
+                dtype=self.dtype, name="reg_conf")(stat.reshape(B, L, -1))
         return scores + q
 
 
@@ -453,8 +457,8 @@ class TransformerDecoder(nn.Module):
             output_instance = out[:, :, 0]   # (B, nq, d)
 
             if layer_id == 0:
-                pre = MLP(self.hidden_dim, 2, 3, dtype=self.dtype,
-                          name="pre_pose_head")(output_pose)
+                pre = MLP(self.hidden_dim, 2, 3, zero_init_last=True,
+                          dtype=self.dtype, name="pre_pose_head")(output_pose)
                 pre_poses = jax.nn.sigmoid(pre + inverse_sigmoid(ref_only_pose))
                 pre_scores = nn.Dense(
                     self.num_classes, bias_init=_class_bias_init,
@@ -462,6 +466,7 @@ class TransformerDecoder(nn.Module):
                 ref_pose_initial = jax.lax.stop_gradient(pre_poses)
 
             corners = MLP(self.hidden_dim, 2 * (self.reg_max + 1), 3,
+                          zero_init_last=True,
                           dtype=self.dtype, name=f"pose_head_{layer_id}")(
                 output_pose + output_pose_detach) + pred_corners_undetach
             kpts = distance2pose(ref_pose_initial, integral(corners, project),

@@ -286,18 +286,27 @@ class RepNCSPELAN4(nn.Module):
 
 
 class MLP(nn.Module):
-    """Simple ReLU MLP head. Reference: src/models/detrpose/utils.py:75-87."""
+    """Simple ReLU MLP head. Reference: src/models/detrpose/utils.py:75-87.
+
+    ``zero_init_last`` reproduces the reference's zero-initialized final layer
+    for prediction heads (transformer.py:1078-1084, 1113-1115, 269-271), which
+    makes the initial predictions equal the anchors/references.
+    """
     hidden_dim: int
     output_dim: int
     num_layers: int
+    zero_init_last: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i in range(self.num_layers):
-            out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}")(x)
-            if i < self.num_layers - 1:
+            last = i == self.num_layers - 1
+            out = self.output_dim if last else self.hidden_dim
+            init = ({"kernel_init": nn.initializers.zeros}
+                    if (last and self.zero_init_last) else {})
+            x = nn.Dense(out, dtype=self.dtype, name=f"layers_{i}", **init)(x)
+            if not last:
                 x = jax.nn.relu(x)
         return x
 
@@ -351,7 +360,9 @@ class Gate(nn.Module):
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
-        g = nn.Dense(2 * self.d_model, dtype=self.dtype, name="gate")(
+        # zero init -> gates start at exactly 0.5 (transformer.py:226-228)
+        g = nn.Dense(2 * self.d_model, kernel_init=nn.initializers.zeros,
+                     dtype=self.dtype, name="gate")(
             jnp.concatenate([x1, x2], axis=-1)
         )
         g = jax.nn.sigmoid(g)

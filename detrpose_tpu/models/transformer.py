@@ -115,7 +115,7 @@ class Transformer(nn.Module):
             jnp.broadcast_to(anchors, (B,) + anchors.shape[1:]),
             topk_idx[..., None], axis=1)  # (B, nq, 2)
 
-        delta = MLP(2 * hd, 2 * K, 4, dtype=self.dtype,
+        delta = MLP(2 * hd, 2 * K, 4, zero_init_last=True, dtype=self.dtype,
                     name="enc_pose_embed")(topk_memory).reshape(B, nq, K, 2)
         enc_pose_coord = jax.nn.sigmoid(delta + topk_anchors[:, :, None, :])
         enc_center = jnp.mean(enc_pose_coord, axis=2, keepdims=True)

@@ -66,6 +66,10 @@ def build_cdn(
     valid = targets["valid"].astype(bool)
     B, G = labels.shape
     known_num = valid.sum(1)  # (B,)
+    # At most pad_cap//2 GTs per image get noised copies (one pos + one neg
+    # each must fit in a single group); extra GTs are still supervised by the
+    # main criterion, they just don't get DN queries.
+    known_num = np.minimum(known_num, cfg.pad_cap // 2)
     max_known = int(known_num.max()) if B else 0
     if max_known == 0:
         return None
@@ -76,11 +80,11 @@ def build_cdn(
     groups = dn_number // (max_known * 2)
     groups = max(groups, 1)
     single_pad = max_known
-    pad_size = min(single_pad * 2 * groups, cfg.pad_cap)
     # Shrink groups if capacity would overflow.
     while single_pad * 2 * groups > cfg.pad_cap and groups > 1:
         groups -= 1
     pad_size = single_pad * 2 * groups
+    assert pad_size <= cfg.pad_cap, (pad_size, cfg.pad_cap)
 
     H, W = img_hw
     sig = np.concatenate([[0.1], keypoint_sigmas(K)])  # center prepended (:34)
@@ -167,6 +171,10 @@ def build_cdn(
                 mg[b, k] = t
                 mv[b, k] = True
                 k += 1
+    # slots beyond pad_size are inert capacity padding: blocked in attention
+    # and masked out of the DN losses (the reference has exactly pad_size slots).
+    active = np.zeros((cfg.pad_cap,), bool)
+    active[:pad_size] = True
     return {
         "labels": out_labels,
         "pose_logits": out_pose,
@@ -178,5 +186,6 @@ def build_cdn(
             "gt_idx": mg,
             "valid": mv,
             "num_group": np.float32(groups),
+            "active_mask": active,
         },
     }

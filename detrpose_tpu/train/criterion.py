@@ -57,8 +57,9 @@ def _scatter_to_queries(assign_q, valid, values, nq, fill):
 
 
 def loss_vfl(outputs, targets, assign_q, num_boxes, K, num_classes=2,
-             focal_alpha=0.25, gamma=2.0):
-    """Varifocal loss (criterion.py:58-93)."""
+             focal_alpha=0.25, gamma=2.0, query_mask=None):
+    """Varifocal loss (criterion.py:58-93). ``query_mask`` (nq,) drops inert
+    static-capacity DN slots that don't exist in the reference."""
     logits = outputs["pred_logits"].astype(jnp.float32)  # (B, nq, C)
     B, nq, C = logits.shape
     valid = targets["valid"]
@@ -83,8 +84,11 @@ def loss_vfl(outputs, targets, assign_q, num_boxes, K, num_classes=2,
     weight = focal_alpha * pred_score**gamma * (1 - target) + target_score
 
     bce = optax_sigmoid_bce(logits, target_score)
-    loss = (bce * weight).mean(axis=1).sum() * nq / num_boxes
-    return {"loss_vfl": loss}
+    # reference: loss.mean(1).sum() * nq / num_boxes == loss.sum() / num_boxes
+    l = bce * weight
+    if query_mask is not None:
+        l = l * query_mask[None, :, None]
+    return {"loss_vfl": l.sum() / num_boxes}
 
 
 def optax_sigmoid_bce(logits, labels):
@@ -302,10 +306,12 @@ def criterion(
             "valid": dn_valid,
         }
         nq_dn = outputs["dn_aux_outputs"][0]["pred_logits"].shape[1]
+        dn_active = targets["dn_match"].get("active_mask")
         dn_go_g, dn_go_valid = union_indices([dn_q], dn_valid, nq_dn)
         for i, a in enumerate(outputs["dn_aux_outputs"]):
             l = {}
-            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes))
+            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes,
+                              query_mask=dn_active))
             l.update(loss_keypoints(a, dn_targets, dn_go_g, dn_go_valid,
                                     jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
             for k, v in l.items():
@@ -314,7 +320,8 @@ def criterion(
         if "dn_aux_pre_outputs" in outputs:
             a = outputs["dn_aux_pre_outputs"]
             l = {}
-            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes))
+            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes,
+                              query_mask=dn_active))
             l.update(loss_keypoints(a, dn_targets, dn_go_g, dn_go_valid,
                                     jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
             for k, v in l.items():

@@ -57,12 +57,16 @@ class Trainer:
         n_devices: Optional[int] = None,
         log_fn=print,
         tensorboard: bool = True,
+        eval_use_area: bool = True,
+        crowd_index: Optional[Dict] = None,
     ):
         self.model = model
         self.cfg = model_cfg
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.val_gts = val_gts
+        self.eval_use_area = eval_use_area
+        self.crowd_index = crowd_index
         self.output_dir = output_dir
         self.epochs = epochs
         self.use_ema = use_ema
@@ -145,6 +149,8 @@ class Trainer:
                     "gt_idx": jax.device_put(jnp.asarray(dn["dn_match"]["gt_idx"]), self.shard_b),
                     "valid": jax.device_put(jnp.asarray(dn["dn_match"]["valid"]), self.shard_b),
                     "num_group": jax.device_put(jnp.asarray(dn["dn_match"]["num_group"]), self.repl),
+                    "active_mask": jax.device_put(
+                        jnp.asarray(dn["dn_match"]["active_mask"]), self.repl),
                 },
             }
         return out
@@ -159,6 +165,11 @@ class Trainer:
                 db = self._device_batch(batch)
                 self.state, metrics = self._jit_step(self.state, db)
                 n += 1
+                # accumulate on device (async) so the host loader overlaps with
+                # TPU compute; only sync at log points (engine.py logs every
+                # print_freq steps too).
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + v
                 if n % 50 == 0 or n == 1:
                     total = float(metrics["loss_total"])
                     if not math.isfinite(total):
@@ -166,9 +177,7 @@ class Trainer:
                             f"Loss is {total}, stopping training (engine.py:68-71)")
                     self.log(f"epoch {epoch} step {n}/{len(self.train_loader)} "
                              f"loss={total:.4f} ({(time.time() - t0) / n:.2f}s/it)")
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
-        return {k: v / max(n, 1) for k, v in agg.items()}
+        return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, use_ema: Optional[bool] = None) -> Dict[str, float]:
@@ -178,7 +187,9 @@ class Trainer:
         params = (self.state.ema["params"]
                   if (use_ema and self.state.ema is not None) else self.state.params)
         variables = {"params": params, "batch_stats": self.state.batch_stats}
-        ev = KeypointEvaluator(self.val_gts, self.cfg.num_body_points)
+        ev = KeypointEvaluator(self.val_gts, self.cfg.num_body_points,
+                               use_area=self.eval_use_area,
+                               crowd_index=self.crowd_index)
         n_dev = len(self.mesh.devices.reshape(-1))
         with self.mesh:
             for batch in self.val_loader:

@@ -171,8 +171,9 @@ def test_hflip_pairs():
          "area": np.asarray([100.0], np.float32)}
     img2, t2 = hflip(img, t, K)
     # after flip, slot 1 (left eye) holds the flipped right eye
-    np.testing.assert_allclose(t2["keypoints"][0, 1, :2], [100 - 30, 20])
-    np.testing.assert_allclose(t2["keypoints"][0, 2, :2], [100 - 10, 20])
+    # (reference uses w - x - 1, transforms.py:94)
+    np.testing.assert_allclose(t2["keypoints"][0, 1, :2], [100 - 30 - 1, 20])
+    np.testing.assert_allclose(t2["keypoints"][0, 2, :2], [100 - 10 - 1, 20])
 
 
 def test_generate_scales():

@@ -61,6 +61,7 @@ def test_sharded_train_step_n():
                 "gt_idx": put(dn["dn_match"]["gt_idx"], shard_b),
                 "valid": put(dn["dn_match"]["valid"], shard_b),
                 "num_group": put(dn["dn_match"]["num_group"], repl),
+                "active_mask": put(dn["dn_match"]["active_mask"], repl),
             },
         },
     }

@@ -84,9 +84,16 @@ def main():
             for img_id in vds.ids
         }
 
+    crowd_index = None
+    eval_use_area = True
+    if args.val_img_dir and args.val_ann:
+        crowd_index = vds.crowd_index
+        eval_use_area = crowd_index is None  # CrowdPose normalizes by box area
+
     trainer = Trainer(
         model, mcfg,
         train_loader=train_loader, val_loader=val_loader, val_gts=val_gts,
+        eval_use_area=eval_use_area, crowd_index=crowd_index,
         output_dir=tp.get("output_dir", "output"),
         epochs=tp.get("epochs", 52),
         lr=tp.get("lr", 1e-4), backbone_lr=tp.get("backbone_lr", 1e-5),
