@@ -60,6 +60,7 @@ class ModelConfig:
     grad_energy: bool = False
     energy_decrease_weight: float = 0.0
     # runtime
+    remat: bool = False  # rematerialize backbone stages + decoder layers in training
     dtype: Any = jnp.float32
 
 
@@ -101,7 +102,7 @@ def model_config(size: str = "l", num_body_points: int = 17, **overrides) -> Mod
 def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
     backbone = HGNetv2(
         arch=cfg.backbone_name, use_lab=cfg.use_lab, return_idx=tuple(cfg.return_idx),
-        dtype=cfg.dtype,
+        remat=cfg.remat, dtype=cfg.dtype,
     )
     encoder = HybridEncoder(
         in_channels=tuple(cfg.in_channels), feat_strides=tuple(cfg.feat_strides),
@@ -129,6 +130,7 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         use_grid_offsets=cfg.use_grid_offsets,
         use_grid_fusion=cfg.use_grid_fusion,
         use_kan=cfg.use_kan, kan_grid=cfg.kan_grid,
+        remat=cfg.remat,
         use_energy_refinement=cfg.use_energy_refinement,
         energy_steps=cfg.energy_steps, energy_step_size=cfg.energy_step_size,
         grad_energy=cfg.grad_energy,

@@ -131,6 +131,55 @@ class KeypointLoader:
             yield batch
 
 
+class Prefetcher:
+    """Background-thread batch prefetch so host data prep overlaps device compute.
+
+    The reference relies on torch DataLoader workers; here a single prefetch
+    thread suffices because batch assembly (PIL decode + numpy) is the only
+    host cost and the train step is asynchronous on device.
+
+    Usage: `for batch in Prefetcher(loader, depth=2): ...`
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+        err = []
+
+        def worker():
+            try:
+                for b in self.loader:
+                    q.put(b)
+            except BaseException as e:  # surface loader errors in the consumer
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is _END:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]
+
+
 def _resize_batch(images: np.ndarray, size: int) -> np.ndarray:
     from PIL import Image
 

@@ -390,6 +390,7 @@ class TransformerDecoder(nn.Module):
     use_grid_fusion: bool = True
     use_kan: bool = False
     kan_grid: int = 3
+    remat: bool = False  # jax.checkpoint each decoder layer
     # Experimental energy-based refinement (reference: transformer.py:731-901,
     # config-gated, off in all canonical zoo models). jax.grad replaces the
     # reference's eval-time torch.autograd.grad (engine.py:133).
@@ -429,13 +430,15 @@ class TransformerDecoder(nn.Module):
 
         eval_idx = self.num_layers - 1
         energy_reg = jnp.zeros((), jnp.float32)
+        LayerCls = (nn.remat(DeformableDecoderLayer, static_argnums=(5,))
+                    if self.remat else DeformableDecoderLayer)
         for layer_id in range(self.num_layers):
             layer_ref = refpoint_pose   # reference points fed to this layer
             ref_only_pose = refpoint_pose[:, :, 1:]  # (B, nq, K, 2)
             sine = sine_embedding_2d(ref_only_pose, self.hidden_dim).astype(out.dtype)
             query_pos = ref_point_head(sine)
 
-            out = DeformableDecoderLayer(
+            out = LayerCls(
                 self.hidden_dim, self.d_ffn, self.activation, self.n_levels,
                 self.n_heads, self.n_points,
                 use_modulation=self.use_modulation,

@@ -171,6 +171,7 @@ class HGNetv2(nn.Module):
     use_lab: bool = False
     return_idx: Sequence[int] = (1, 2, 3)
     freeze_norm: bool = True
+    remat: bool = False  # jax.checkpoint each stage (memory for FLOPs in training)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -181,10 +182,11 @@ class HGNetv2(nn.Module):
         x = StemBlock(stem_channels[1], stem_channels[2], use_lab=self.use_lab,
                       dtype=self.dtype, name="stem")(x, train)
         outs = []
+        Stage = nn.remat(HGStage, static_argnums=(2,)) if self.remat else HGStage
         for i, (cin, cmid, cout, nblocks, down, light, k, nlayers) in enumerate(stage_config):
-            x = HGStage(cmid, cout, nblocks, nlayers, downsample=down,
-                        light_block=light, kernel_size=k, use_lab=self.use_lab,
-                        dtype=self.dtype, name=f"stages_{i}")(x, train)
+            x = Stage(cmid, cout, nblocks, nlayers, downsample=down,
+                      light_block=light, kernel_size=k, use_lab=self.use_lab,
+                      dtype=self.dtype, name=f"stages_{i}")(x, train)
             if i in self.return_idx:
                 outs.append(x)
         return outs

@@ -36,7 +36,7 @@ def main():
     from detrpose_tpu.configs import model_config, build_model
     from detrpose_tpu.data.coco import CocoKeypointDataset
     from detrpose_tpu.data.transforms import TrainTransforms, EvalTransforms
-    from detrpose_tpu.data.loader import KeypointLoader
+    from detrpose_tpu.data.loader import KeypointLoader, Prefetcher
     from detrpose_tpu.train.trainer import Trainer
 
     cfg = LazyConfig.load(args.config)
@@ -61,12 +61,12 @@ def main():
             transforms=TrainTransforms(
                 out_size=tp.get("base_size", 640), num_keypoints=K,
                 policy_epochs=tuple(tp.get("policy_epochs", (5, 29, 48)))))
-        train_loader = KeypointLoader(
+        train_loader = Prefetcher(KeypointLoader(
             tds, tp.get("total_batch_size", 16), K, train=True,
             base_size=tp.get("base_size", 640),
             base_size_repeat=tp.get("base_size_repeat"),
             multiscale_stop_epoch=tp.get("multiscale_stop_epoch", 48),
-            num_queries=mcfg.num_queries)
+            num_queries=mcfg.num_queries))
     if args.val_img_dir and args.val_ann:
         vds = CocoKeypointDataset(
             args.val_img_dir, args.val_ann, K, train=False,
