@@ -100,7 +100,7 @@ class Trainer:
             matcher_backend=matcher_backend,
             ema_decay=ema_decay, ema_warmups=ema_warmups, use_ema=use_ema,
         )
-        self._jit_step = jax.jit(self._step, donate_argnums=0)
+        self._jit_step = jax.jit(self._step)  # NOTE: donation is pathological on the axon runtime (100x slower)
         self._jit_eval = jax.jit(
             lambda v, img, ts: postprocess(
                 model.apply(v, img, train=False), ts,

@@ -67,7 +67,7 @@ def test_sharded_train_step_n():
     }
     step = make_train_step(model, tx, num_body_points=K, num_classes=cfg.num_classes)
     with mesh:
-        jit_step = jax.jit(step, donate_argnums=0)
+        jit_step = jax.jit(step)  # donation disabled: see memory/axon-sandbox-quirks
         state2, metrics = jit_step(state, batch)
         state3, metrics2 = jit_step(state2, batch)  # second step (donation path)
         jax.block_until_ready(metrics2)
