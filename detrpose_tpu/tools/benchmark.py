@@ -91,6 +91,62 @@ def bench_size(size: str, batch: int, res: int = 640, bf16: bool = True,
     }
 
 
+def bench_train_step(size: str, batch: int = 8, res: int = 640,
+                     num_body_points: int = 17, iters: int = 10,
+                     remat: bool = False):
+    """Full training-step throughput (fwd + criterion + backward + AdamW + EMA)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import model_config, build_model
+    from ..parallel import make_train_step, init_train_state
+    from ..train.optim import make_optimizer
+    from ..train.cdn import build_cdn
+
+    K, G = num_body_points, 8
+    cfg = model_config(size, num_body_points=K, dtype=jnp.bfloat16, remat=remat)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    kxy = rng.uniform(0.2, 0.8, (batch, G, K, 2)).astype(np.float32)
+    targets = {
+        "labels": np.zeros((batch, G), np.int32),
+        "boxes": np.concatenate(
+            [kxy.mean(2), np.full((batch, G, 2), 0.2, np.float32)], -1),
+        "keypoints": np.concatenate(
+            [kxy.reshape(batch, G, 2 * K), np.ones((batch, G, K), np.float32)], -1),
+        "area": np.full((batch, G), 0.04, np.float32),
+        "valid": np.ones((batch, G), bool),
+    }
+    dn_np = build_cdn(targets, cfg.num_queries, K, (res, res), rng)
+    dn = {k: (jax.tree.map(jnp.asarray, v) if k not in ("pad_size", "num_dn_group")
+              else v) for k, v in dn_np.items()}
+    tx = make_optimizer(jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=True))["params"])
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.zeros((1, 128, 128, 3)))
+    step = jax.jit(make_train_step(model, tx, num_body_points=K,
+                                   num_classes=cfg.num_classes))
+    batch_d = {
+        "images": jnp.asarray(rng.uniform(0, 1, (batch, res, res, 3)).astype(np.float32)),
+        "targets": jax.tree.map(jnp.asarray, targets),
+        "dn": dn,
+    }
+    state, m = step(state, batch_d)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch_d)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "size": size, "batch": batch, "res": res, "mode": "train",
+        "remat": remat,
+        "step_ms": round(dt * 1000, 2),
+        "images_per_sec": round(batch / dt, 1),
+        "loss": round(float(m["loss_total"]), 3),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", nargs="+", default=["n", "s", "m", "l", "x"],
@@ -98,10 +154,19 @@ def main():
     p.add_argument("--batch", nargs="+", type=int, default=[1, 32])
     p.add_argument("--res", type=int, default=640)
     p.add_argument("--info-only", action="store_true")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the full training step instead of inference")
+    p.add_argument("--remat", action="store_true")
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args()
 
     for size in args.sizes:
+        if args.train:
+            for b in args.batch:
+                print(json.dumps(bench_train_step(size, b, args.res,
+                                                  iters=max(5, args.iters // 5),
+                                                  remat=args.remat)))
+            continue
         print(json.dumps(model_info(size, res=args.res)))
         if args.info_only:
             continue
