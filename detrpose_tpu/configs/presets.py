@@ -7,7 +7,7 @@ the executable lazy-config system (core/lazy.py) builds on top of it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 

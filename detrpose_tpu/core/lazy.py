@@ -16,7 +16,7 @@ import importlib.util
 import os
 import pydoc
 import uuid
-from typing import Any, Dict, List, Mapping
+from typing import Any, List, Mapping
 
 
 class LazyCall:

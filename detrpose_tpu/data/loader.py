@@ -14,7 +14,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from .coco import normalize_target, pad_targets
-from ..train.cdn import build_cdn, CDNConfig
+from ..train.cdn import build_cdn
 
 
 def generate_scales(base_size: int, base_size_repeat: int) -> List[int]:

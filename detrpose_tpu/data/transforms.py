@@ -11,7 +11,7 @@ data/coco.normalize_target at batch assembly.
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance

@@ -12,7 +12,7 @@ input. We replicate that functionally with ``x.at[:, :, 1:].add(pos)``.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
 import jax

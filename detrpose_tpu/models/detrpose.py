@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from .hgnetv2 import HGNetv2

@@ -8,7 +8,7 @@ JAX (see train/optim.py), not module structure.
 """
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import flax.linen as nn
 from .layers import (
     BatchNorm,
     ConvNormLayer,
-    ConvNormLayerFuse,
     MultiHeadAttention,
     RepNCSPELAN4,
     SCDown,

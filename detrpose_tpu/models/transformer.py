@@ -18,7 +18,6 @@ import flax.linen as nn
 from .layers import MLP
 from .decoder import TransformerDecoder
 from ..ops.fdr import weighting_function
-from ..ops.misc import inverse_sigmoid
 
 
 def make_anchors(spatial_shapes: Sequence[Tuple[int, int]]):

@@ -13,7 +13,7 @@ pods); the same code then spans hosts with ICI/DCN collectives.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

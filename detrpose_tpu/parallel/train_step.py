@@ -7,7 +7,6 @@ global batch-stat reduction under pjit; grad clip + EMA identical.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional
 
 import jax

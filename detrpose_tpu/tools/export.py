@@ -17,8 +17,6 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 
 def export_model(size: str, num_body_points: int = 17, ckpt: str | None = None,
                  batch: int = 32, res: int = 640, bf16: bool = True,

@@ -17,7 +17,6 @@ where ~valid).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import numpy as np

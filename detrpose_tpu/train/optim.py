@@ -11,7 +11,7 @@ Reference semantics:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -175,3 +175,20 @@ def test_pretrain_backbone_encoder_import():
     # decoder untouched
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(new_vars["params"]["transformer"])[0]), old_dec)
+
+
+@pytest.mark.slow
+def test_converter_covers_x_size():
+    """The structurally-different X config (hidden 384, B5 backbone) converts
+    with every torch key consumed — guards zoo-checkpoint compatibility for
+    all sizes without running a forward."""
+    torch.manual_seed(0)
+    ref_model, cfg = build_reference_model("x", eval_hw=(128, 128))
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    model = build_model(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)),
+                           train=True))
+    variables = convert_state_dict(sd, dict(template))  # raises on any mismatch
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"]))
+    assert n > 70e6

@@ -32,7 +32,7 @@ def main():
     p.add_argument("--epochs", type=int)
     args = p.parse_args()
 
-    from detrpose_tpu.core import LazyConfig, instantiate
+    from detrpose_tpu.core import LazyConfig
     from detrpose_tpu.configs import model_config, build_model
     from detrpose_tpu.data.coco import CocoKeypointDataset
     from detrpose_tpu.data.transforms import TrainTransforms, EvalTransforms
