@@ -60,6 +60,16 @@ def main():
         out = fwd(variables, xs[i % len(xs)], ts)
     jax.block_until_ready(out)
 
+    # Optional profiler capture (SURVEY section 5 tracing equivalent):
+    # BENCH_TRACE=/path captures a few steps with jax.profiler.
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                out = fwd(variables, xs[i % len(xs)], ts)
+            jax.block_until_ready(out)
+        print(f"# profiler trace written to {trace_dir}", file=sys.stderr)
+
     outs = []
     t0 = time.time()
     for i in range(iters):

@@ -11,7 +11,9 @@ xtcocotools) without external deps:
   * summarize: AP, AP50, AP75, AP-M, AP-L, AR, AR50, ...
 
 CrowdPose mode (`use_area=False`, 14 keypoints) normalizes OKS by the GT box
-area like xtcocotools and adds AP-easy/medium/hard splits by image crowdIndex.
+area like xtcocotools and adds AP-easy/medium/hard splits by image crowdIndex
+(in that mode `AP_medium` is the crowd-medium split, matching the CrowdPose
+protocol which has no area splits).
 
 Distributed use: each host evaluates its shard and `merge()` concatenates
 results before `accumulate()` (reference: coco_eval.py:93-105).

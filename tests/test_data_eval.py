@@ -180,3 +180,34 @@ def test_generate_scales():
     s = generate_scales(640, 4)
     assert 640 in s and min(s) >= 480 and max(s) <= 800
     assert all(x % 32 == 0 for x in s)
+
+
+def test_crowdpose_eval_mode():
+    """use_area=False + crowdIndex splits produce AP_easy/medium/hard."""
+    rng = np.random.default_rng(5)
+    K14 = 14
+    from detrpose_tpu.ops.oks import keypoint_sigmas as ks
+
+    gts = {}
+    dets = {}
+    for img in range(4):
+        kp = np.zeros((K14, 3))
+        kp[:, 0] = 100 + rng.uniform(-40, 40, K14)
+        kp[:, 1] = 120 + rng.uniform(-40, 40, K14)
+        kp[:, 2] = 2
+        bbox = [kp[:, 0].min(), kp[:, 1].min(),
+                kp[:, 0].max() - kp[:, 0].min() + 1,
+                kp[:, 1].max() - kp[:, 1].min() + 1]
+        gts[img] = {"anns": [{"keypoints": kp, "area": bbox[2] * bbox[3],
+                              "bbox": bbox, "iscrowd": 0, "num_keypoints": K14}]}
+        dets[img] = kp
+    crowd_index = {0: 0.05, 1: 0.05, 2: 0.5, 3: 0.9}
+    ev = KeypointEvaluator(gts, K14, use_area=False, crowd_index=crowd_index)
+    for img, kp in dets.items():
+        ev.update(img, [0.9], kp[None])
+    ev.accumulate()
+    s = ev.summarize()
+    assert s["AP"] == pytest.approx(1.0)
+    for k in ("AP_easy", "AP_medium", "AP_hard"):
+        assert k in s
+        assert s[k] == pytest.approx(1.0)
