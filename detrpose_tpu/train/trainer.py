@@ -285,3 +285,25 @@ class Trainer:
         self.state, epoch = restore_checkpoint(path, self.state)
         self.start_epoch = epoch + 1
         self.log(f"resumed from {path} at epoch {epoch}")
+
+    def load_torch_weights(self, pth_path: str, prefer_ema: bool = True):
+        """Load a reference zoo .pth (converted) into params + EMA.
+
+        The round-trip acceptance path for COCO AP parity: convert a reference
+        checkpoint, then `evaluate()`.
+        """
+        from ..utils.convert import convert_state_dict, load_torch_checkpoint
+
+        sd = load_torch_checkpoint(pth_path, prefer_ema=prefer_ema)
+        template = jax.eval_shape(
+            lambda: self.model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 128, 128, 3)), train=True))
+        variables = convert_state_dict(sd, dict(template))
+        params = jax.tree.map(jnp.asarray, variables["params"])
+        stats = jax.tree.map(jnp.asarray, variables["batch_stats"])
+        new_ema = (dict(self.state.ema, params=jax.tree.map(jnp.array, params))
+                   if self.state.ema is not None else None)
+        self.state = self.state.replace(params=params, batch_stats=stats,
+                                        ema=new_ema)
+        self.state = jax.device_put(self.state, self.repl)
+        self.log(f"loaded torch weights from {pth_path}")

@@ -24,6 +24,7 @@ def main():
     p.add_argument("--val-img-dir")
     p.add_argument("--val-ann")
     p.add_argument("--resume")
+    p.add_argument("--ckpt-pth", help="reference zoo .pth to convert and load")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--test", action="store_true",
                    help="write results.json (test-dev submission format)")
@@ -104,6 +105,8 @@ def main():
     )
     if args.resume:
         trainer.resume(args.resume)
+    if args.ckpt_pth:
+        trainer.load_torch_weights(args.ckpt_pth)
     if args.test:
         trainer.test()
     elif args.eval:
