@@ -153,27 +153,34 @@ class KeypointEvaluator:
         G, D = len(gt), len(dt)
         gtm = -np.ones((T, G), np.int64)
         dtm = -np.ones((T, D), np.int64)
-        dt_ignore = np.zeros((T, D), bool)
-        for t, thr in enumerate(self.iou_thrs):
-            for d in range(D):
-                iou = min(thr, 1 - 1e-10)
-                m = -1
-                for g in range(G):
-                    # already-matched gts can only be re-matched if iscrowd
-                    # (pycocotools evaluateImg)
-                    if gtm[t, g] >= 0 and not gt_iscrowd[g]:
+        dt_ignore_u8 = np.zeros((T, D), np.uint8)
+        from ..utils.native import match_image_native
+
+        if not (D and G and match_image_native(
+                ious, self.iou_thrs, gt_ignore, gt_iscrowd,
+                gtm, dtm, dt_ignore_u8)):
+            # pure-Python fallback (identical semantics to native/coco_match.cc)
+            for t, thr in enumerate(self.iou_thrs):
+                for d in range(D):
+                    iou = min(thr, 1 - 1e-10)
+                    m = -1
+                    for g in range(G):
+                        # already-matched gts can only be re-matched if iscrowd
+                        # (pycocotools evaluateImg)
+                        if gtm[t, g] >= 0 and not gt_iscrowd[g]:
+                            continue
+                        if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                            break  # past matchable non-ignore gts
+                        if ious[d, g] < iou:
+                            continue
+                        iou = ious[d, g]
+                        m = g
+                    if m == -1:
                         continue
-                    if m > -1 and not gt_ignore[m] and gt_ignore[g]:
-                        break  # past matchable non-ignore gts
-                    if ious[d, g] < iou:
-                        continue
-                    iou = ious[d, g]
-                    m = g
-                if m == -1:
-                    continue
-                dtm[t, d] = m
-                gtm[t, m] = d
-                dt_ignore[t, d] = gt_ignore[m]
+                    dtm[t, d] = m
+                    gtm[t, m] = d
+                    dt_ignore_u8[t, d] = gt_ignore[m]
+        dt_ignore = dt_ignore_u8.astype(bool)
         # unmatched detections whose own area is outside the range are ignored
         # in that split (pycocotools: dtIg |= (dtm==0) & (d area outside aRng))
         if D:

@@ -211,3 +211,50 @@ def test_crowdpose_eval_mode():
     for k in ("AP_easy", "AP_medium", "AP_hard"):
         assert k in s
         assert s[k] == pytest.approx(1.0)
+
+
+def test_native_matcher_equals_python():
+    """The C++ matching core must agree with the Python fallback exactly."""
+    from detrpose_tpu.utils.native import match_image_native
+
+    rng = np.random.default_rng(7)
+    T, D, G = 10, 12, 6
+    ious = rng.uniform(0, 1, (D, G))
+    thrs = np.linspace(0.5, 0.95, T)
+    gt_ignore = (rng.uniform(size=G) > 0.7)
+    gt_iscrowd = (rng.uniform(size=G) > 0.8)
+    # sort ignore-last, like the evaluator does
+    order = np.argsort(gt_ignore.astype(int), kind="stable")
+    ious, gt_ignore, gt_iscrowd = ious[:, order], gt_ignore[order], gt_iscrowd[order]
+
+    gtm_n = -np.ones((T, G), np.int64)
+    dtm_n = -np.ones((T, D), np.int64)
+    dti_n = np.zeros((T, D), np.uint8)
+    ok = match_image_native(ious, thrs, gt_ignore, gt_iscrowd, gtm_n, dtm_n, dti_n)
+    assert ok, "native matcher should build in this environment"
+
+    gtm_p = -np.ones((T, G), np.int64)
+    dtm_p = -np.ones((T, D), np.int64)
+    dti_p = np.zeros((T, D), np.uint8)
+    for t, thr in enumerate(thrs):
+        for d in range(D):
+            iou = min(thr, 1 - 1e-10)
+            m = -1
+            for g in range(G):
+                if gtm_p[t, g] >= 0 and not gt_iscrowd[g]:
+                    continue
+                if m > -1 and not gt_ignore[m] and gt_ignore[g]:
+                    break
+                if ious[d, g] < iou:
+                    continue
+                iou = ious[d, g]
+                m = g
+            if m == -1:
+                continue
+            dtm_p[t, d] = m
+            gtm_p[t, m] = d
+            dti_p[t, d] = gt_ignore[m]
+
+    np.testing.assert_array_equal(gtm_n, gtm_p)
+    np.testing.assert_array_equal(dtm_n, dtm_p)
+    np.testing.assert_array_equal(dti_n, dti_p)
