@@ -104,3 +104,33 @@ def test_trainer_load_torch_weights(tmp_path):
     trainer.load_torch_weights(pth, prefer_ema=False)
     stats = trainer.evaluate(use_ema=False)
     assert "AP" in stats  # random weights -> AP ~0; contract: pipeline runs
+
+
+@pytest.mark.slow
+def test_trainer_test_writes_results_json(tmp_path):
+    from detrpose_tpu.configs import model_config, build_model
+    from detrpose_tpu.data.coco import CocoKeypointDataset
+    from detrpose_tpu.data.transforms import EvalTransforms
+    from detrpose_tpu.data.loader import KeypointLoader, Prefetcher
+    from detrpose_tpu.train.trainer import Trainer
+
+    img_dir, ann_file = make_tiny_coco(str(tmp_path), n_images=2, w=160, h=160)
+    mcfg = model_config("n")
+    model = build_model(mcfg)
+    vds = CocoKeypointDataset(img_dir, ann_file, K, train=False,
+                              transforms=EvalTransforms(out_size=160))
+    # Prefetcher wraps the loader, as train.py does for training
+    val_loader = Prefetcher(KeypointLoader(vds, batch_size=2, num_keypoints=K,
+                                           train=False, with_cdn=False,
+                                           drop_last=False))
+    trainer = Trainer(model, mcfg, val_loader=val_loader, val_gts={},
+                      output_dir=str(tmp_path / "out"), tensorboard=False,
+                      n_devices=2)
+    out = trainer.test(score_thresh=0.0)
+    with open(out) as f:
+        results = json.load(f)
+    # 2 images x top-60 detections
+    assert len(results) == 2 * 60
+    r = results[0]
+    assert set(r) == {"image_id", "category_id", "keypoints", "score"}
+    assert len(r["keypoints"]) == 3 * K
