@@ -18,6 +18,8 @@ attention) has a fused Pallas variant in ``ops/pallas``.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,25 @@ def bilinear_grid_sample(feat: jax.Array, grid: jax.Array) -> jax.Array:
     w11 = (ix - x0) * (iy - y0)  # (x1, y1)
 
     flat = feat.reshape(B, H * W, C)
+
+    # Small maps: dense one-hot contraction instead of 4 gathers — exact same
+    # bilinear result, MXU-friendly on TPU and immune to XLA:CPU's slow
+    # elemental gather emitter (see ops/ms_deform_attn.py).
+    if H * W <= int(os.environ.get("MSDA_ONEHOT_MAX_HW", "256")):
+        hw = jnp.arange(H * W, dtype=jnp.int32)
+        weights = jnp.zeros(ix.shape + (H * W,), jnp.float32)
+        for xc, yc, w in ((x0, y0, w00), (x0, y1, w01),
+                          (x1, y0, w10), (x1, y1, w11)):
+            valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
+            xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+            yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+            idx = yi * W + xi
+            onehot = (idx[..., None] == hw).astype(jnp.float32)
+            weights = weights + onehot * (
+                w * valid.astype(w.dtype))[..., None].astype(jnp.float32)
+        out = jnp.einsum("bqs,bsc->bqc", weights, flat.astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(feat.dtype)
+        return out.reshape(out_shape)
 
     def tap(xc, yc, w):
         valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)

@@ -244,18 +244,27 @@ def criterion(
     valid = targets["valid"]
     nq = outputs["pred_logits"].shape[1]
 
-    def match(o):
-        return hungarian_match(
-            o["pred_logits"], o["pred_keypoints"], targets, K,
-            cost_class=cc, cost_keypoints=ck, cost_oks=co,
-            backend=matcher_backend,
-        )
+    # per-level matchings: ONE vmapped matcher instance over all supervision
+    # levels (final + aux + pre + interm share target set and query count) —
+    # the reference runs ~10 independent matcher calls per step
+    # (criterion.py:254-258); unrolling those as separate XLA subprograms
+    # multiplies compile time for zero runtime benefit.
+    aux_list = outputs.get("aux_outputs", [])
+    interm_list = outputs.get("aux_interm_outputs", [])
+    branches = [outputs] + list(aux_list) + [outputs["aux_pre_outputs"]] + list(interm_list)
+    st_logits = jnp.stack([b["pred_logits"] for b in branches])
+    st_kpts = jnp.stack([b["pred_keypoints"][..., : 2 * K] for b in branches])
+    assign_all = jax.vmap(
+        lambda lg, kp: hungarian_match(
+            lg, kp, targets, K, cost_class=cc, cost_keypoints=ck,
+            cost_oks=co, backend=matcher_backend)
+    )(st_logits, st_kpts)                                 # (M, B, G)
 
-    # per-level matchings
-    idx_final = match(outputs)
-    idx_aux = [match(a) for a in outputs.get("aux_outputs", [])]
-    idx_pre = match(outputs["aux_pre_outputs"])
-    idx_interm = [match(a) for a in outputs.get("aux_interm_outputs", [])]
+    n_aux = len(aux_list)
+    idx_final = assign_all[0]
+    idx_aux = [assign_all[1 + i] for i in range(n_aux)]
+    idx_pre = assign_all[1 + n_aux]
+    idx_interm = [assign_all[2 + n_aux + i] for i in range(len(interm_list))]
 
     all_assign = [idx_final] + idx_aux + [idx_pre] + idx_interm
     go_g, go_valid = union_indices(all_assign, valid, nq)
@@ -265,28 +274,39 @@ def criterion(
 
     out_losses: Dict[str, jax.Array] = {}
 
-    def add(dst_suffix, o, idx):
+    # Branch suffixes in stack order: final, aux_0..n-1, pre, enc_0..m-1.
+    suffixes = ([""] + [f"_{i}" for i in range(n_aux)] + ["_pre"]
+                + [f"_enc_{i}" for i in range(len(interm_list))])
+
+    # ONE vmapped loss instance over all supervision branches (the reference
+    # loops python-side, criterion.py:335-382). Branch-independent inputs
+    # (targets, union indices, normalizers) are closed over.
+    def per_branch(lg, kp, assign_q):
+        o = {"pred_logits": lg, "pred_keypoints": kp}
         l = {}
         if "vfl" in losses:
-            l.update(loss_vfl(o, targets, idx, num_boxes, K, num_classes))
+            l.update(loss_vfl(o, targets, assign_q, num_boxes, K, num_classes))
         if "labels" in losses:
-            l.update(loss_labels(o, targets, idx, num_boxes, K, num_classes))
+            l.update(loss_labels(o, targets, assign_q, num_boxes, K, num_classes))
         if "mal" in losses:
-            l.update(loss_mal(o, targets, idx, num_boxes, K, num_classes))
+            l.update(loss_mal(o, targets, assign_q, num_boxes, K, num_classes))
         if "keypoints" in losses:
             l.update(loss_keypoints(o, targets, go_g, go_valid, num_boxes_go, K))
-        if "local" in losses:
-            l.update(loss_local(o, targets, go_g, go_valid, K))
-        for k, v in l.items():
-            if k in wd:
-                out_losses[k + dst_suffix] = v * wd[k]
+        return l
 
-    add("", outputs, idx_final)
-    for i, a in enumerate(outputs.get("aux_outputs", [])):
-        add(f"_{i}", a, idx_aux[i])
-    add("_pre", outputs["aux_pre_outputs"], idx_pre)
-    for i, a in enumerate(outputs.get("aux_interm_outputs", [])):
-        add(f"_enc_{i}", a, idx_interm[i])
+    stacked_losses = jax.vmap(per_branch)(st_logits, st_kpts, assign_all)
+    for k, v in stacked_losses.items():
+        if k in wd:
+            for m, sfx in enumerate(suffixes):
+                out_losses[k + sfx] = v[m] * wd[k]
+
+    # FGL/DDF distillation needs FDR corners (final + aux branches only).
+    if "local" in losses:
+        for sfx, o in [("", outputs)] + [
+                (f"_{i}", a) for i, a in enumerate(aux_list)]:
+            for k, v in loss_local(o, targets, go_g, go_valid, K).items():
+                if k in wd:
+                    out_losses[k + sfx] = v * wd[k]
 
     # DN branch: fabricated positive indices from the CDN layout.
     if "dn_aux_outputs" in outputs and "dn_match" in targets:
@@ -308,24 +328,31 @@ def criterion(
         nq_dn = outputs["dn_aux_outputs"][0]["pred_logits"].shape[1]
         dn_active = targets["dn_match"].get("active_mask")
         dn_go_g, dn_go_valid = union_indices([dn_q], dn_valid, nq_dn)
-        for i, a in enumerate(outputs["dn_aux_outputs"]):
-            l = {}
-            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes,
-                              query_mask=dn_active))
-            l.update(loss_keypoints(a, dn_targets, dn_go_g, dn_go_valid,
-                                    jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
-            for k, v in l.items():
-                if k in wd:
-                    out_losses[k + f"_dn_{i}"] = v * wd[k]
+        nb_dn_go = jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None)
+
+        # ONE vmapped instance over the DN supervision branches, like the main
+        # branches above (indices/targets are branch-independent).
+        dn_branches = list(outputs["dn_aux_outputs"])
+        dn_suffixes = [f"_dn_{i}" for i in range(len(dn_branches))]
         if "dn_aux_pre_outputs" in outputs:
-            a = outputs["dn_aux_pre_outputs"]
+            dn_branches.append(outputs["dn_aux_pre_outputs"])
+            dn_suffixes.append("_dn_pre")
+        dn_lg = jnp.stack([b["pred_logits"] for b in dn_branches])
+        dn_kp = jnp.stack([b["pred_keypoints"][..., : 2 * K] for b in dn_branches])
+
+        def per_dn_branch(lg, kp):
+            o = {"pred_logits": lg, "pred_keypoints": kp}
             l = {}
-            l.update(loss_vfl(a, dn_targets, dn_q, nb_dn, K, num_classes,
+            l.update(loss_vfl(o, dn_targets, dn_q, nb_dn, K, num_classes,
                               query_mask=dn_active))
-            l.update(loss_keypoints(a, dn_targets, dn_go_g, dn_go_valid,
-                                    jnp.clip(dn_valid.sum().astype(jnp.float32), 1.0, None), K))
-            for k, v in l.items():
-                if k in wd:
-                    out_losses[k + "_dn_pre"] = v * wd[k]
+            l.update(loss_keypoints(o, dn_targets, dn_go_g, dn_go_valid,
+                                    nb_dn_go, K))
+            return l
+
+        dn_stacked = jax.vmap(per_dn_branch)(dn_lg, dn_kp)
+        for k, v in dn_stacked.items():
+            if k in wd:
+                for m, sfx in enumerate(dn_suffixes):
+                    out_losses[k + sfx] = v[m] * wd[k]
 
     return out_losses

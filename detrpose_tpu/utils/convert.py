@@ -82,9 +82,34 @@ def _get(sd: Mapping[str, np.ndarray], key: str) -> np.ndarray:
     return np.asarray(sd[key])
 
 
+# Scanned decoder stack (models/decoder.py _DecoderStep under nn.scan): flax
+# params carry a leading num_layers axis; torch has per-layer modules. Map the
+# scan-scope child name to the legacy per-layer name pattern and stack.
+_SCAN_CHILDREN = {
+    "layer": "layers_{i}",
+    "pose_head": "pose_head_{i}",
+    "class_head": "class_head_{i}",
+    "lqe_head": "lqe_head_{i}",
+}
+
+
 def _convert_leaf(path: Tuple[str, ...], target_shape, sd, consumed) -> np.ndarray:
     *names, leaf = path
     joined = "/".join(path)
+
+    # Stacked scan params: peel the leading layer axis, convert each layer's
+    # tensor via the legacy (unrolled) path, and stack.
+    if "dec_scan" in names:
+        si = names.index("dec_scan")
+        child = names[si + 1]
+        assert child in _SCAN_CHILDREN, f"unknown scan child {child} in {joined}"
+        L = target_shape[0]
+        per = []
+        for i in range(L):
+            legacy = (tuple(names[:si]) + (_SCAN_CHILDREN[child].format(i=i),)
+                      + tuple(names[si + 2:]) + (leaf,))
+            per.append(_convert_leaf(legacy, target_shape[1:], sd, consumed))
+        return np.stack(per, 0)
 
     # MHA packed qkv: flax {q,k,v}_proj <- torch in_proj_weight/in_proj_bias.
     m = re.search(r"(q_proj|k_proj|v_proj)", joined)
