@@ -1,6 +1,16 @@
-"""Base experiment config (reference: configs/detrpose/include/detrpose_hgnetv2.py)."""
+"""Base experiment config (reference: configs/detrpose/include/detrpose_hgnetv2.py).
+
+Per-size configs override the training schedule to match the reference zoo
+recipes exactly (configs/detrpose/detrpose_hgnetv2_{n,s,m,l,x}[_crowdpose].py):
+epochs, augmentation-policy epochs, multiscale collate stop epoch and repeat,
+backbone LR, LR milestones, and gradient accumulation.
+"""
 model_size = "l"
 num_body_points = 17
+
+# Model-architecture overrides forwarded into detrpose_tpu.configs.model_config
+# (e.g. {"dec_n_points": 8} — makes model hyperparameters config-addressable).
+model_overrides = {}
 
 training_params = {
     "output_dir": "output/detrpose_l",
@@ -13,6 +23,11 @@ training_params = {
     "clip_max_norm": 0.1,
     "milestones": [1000],
     "use_ema": True,
+    "ema_decay": 0.9999,
+    "ema_warmups": 2000,
+    "warmup_steps": 0,
+    # reference include/detrpose_hgnetv2.py:16 — L trains with grad accum 2
+    "grad_accum_steps": 2,
     "base_size": 640,
     "base_size_repeat": 4,
     "multiscale_stop_epoch": 48,

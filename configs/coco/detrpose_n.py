@@ -1,7 +1,12 @@
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 exec(open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "_base.py")).read())
+# reference: configs/detrpose/detrpose_hgnetv2_n.py
 model_size = "n"
 training_params["output_dir"] = "output/detrpose_n"
 training_params["epochs"] = 160
-training_params["backbone_lr"] = 0.0001
+training_params["backbone_lr"] = 1e-4
+training_params["grad_accum_steps"] = 1
+training_params["policy_epochs"] = [5, 83, 156]
+training_params["base_size_repeat"] = None  # no multiscale for N
+training_params["multiscale_stop_epoch"] = 156

@@ -45,6 +45,8 @@ class KeypointLoader:
         drop_last: bool = True,
         mixup_prob: float = 0.0,
         mixup_epochs=(4, 29),
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -64,22 +66,39 @@ class KeypointLoader:
         self.drop_last = drop_last
         self.mixup_prob = mixup_prob
         self.mixup_epochs = mixup_epochs
+        # Multi-host: strided per-process shard of the (identically shuffled)
+        # global order — DistributedSampler semantics (dist_utils.py:98-108).
+        # batch_size is PER PROCESS (reference get_rank_batch_size splits the
+        # total, src/solver/trainer.py:70-85).
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
         if hasattr(self.ds, "transforms") and hasattr(self.ds.transforms, "set_epoch"):
             self.ds.transforms.set_epoch(epoch)
 
-    def __len__(self):
+    def _shard_len(self):
         n = len(self.ds)
+        if self.process_count > 1:
+            n = -(-n // self.process_count)  # ceil: wrap-padded shards
+        return n
+
+    def __len__(self):
+        n = self._shard_len()
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = random.Random(self.seed + self.epoch)
-        nprng = np.random.default_rng(self.seed + self.epoch)
+        nprng = np.random.default_rng(
+            self.seed + self.epoch + 7919 * self.process_index)
         order = list(range(len(self.ds)))
         if self.train:
             rng.shuffle(order)
+        if self.process_count > 1:
+            from ..parallel.dist import shard_indices
+
+            order = shard_indices(order, self.process_index, self.process_count)
         for start in range(0, len(order) - (self.bs - 1 if self.drop_last else 0), self.bs):
             idxs = order[start:start + self.bs]
             imgs, tgts = [], []

@@ -28,7 +28,11 @@ class TrainState(struct.PyTreeNode):
 
 def init_train_state(model, tx, rng, sample_batch, use_ema: bool = True,
                      dn=None) -> TrainState:
-    variables = model.init(rng, sample_batch, train=True, dn=dn)
+    # jit the init: eager op-by-op dispatch of the full model is minutes on
+    # CPU backends; compiled it is one program.
+    variables = jax.jit(
+        lambda r, x, d: model.init(r, x, train=True, dn=d)
+    )(rng, sample_batch, dn)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -49,11 +53,22 @@ def make_train_step(
     ema_decay: float = 0.9999,
     ema_warmups: int = 2000,
     use_ema: bool = True,
+    grad_accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, Any]], tuple]:
     """Returns a jittable (state, batch) -> (state, metrics) step.
 
     batch = {"images": (B,H,W,3), "targets": {labels, boxes, keypoints, area,
     valid}, optionally "dn": output of train/cdn.build_cdn converted to jnp}.
+
+    With ``grad_accum_steps > 1`` the optimizer must be an optax.MultiSteps
+    (train/optim.py) fed one micro-batch per call (the reference runs
+    sequential micro-batches, engine.py:43-60); the EMA then only advances on
+    real optimizer steps, matching the reference's per-step ema.update.
+
+    A non-finite loss skips the whole update (params/opt/EMA keep their old
+    values) and is reported in metrics["finite"] — stronger than the
+    reference, which detects the NaN but only after the optimizer stepped
+    (engine.py:68-71 aborts before stepping; DDP has no skip path).
     """
 
     def step(state: TrainState, batch: Dict[str, Any]):
@@ -82,20 +97,38 @@ def make_train_step(
         (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
+        finite = jnp.isfinite(total)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_ema = (
-            EMA.update(state.ema, new_params, ema_decay, ema_warmups)
-            if state.ema is not None and use_ema else state.ema
-        )
-        new_state = state.replace(
+
+        if state.ema is not None and use_ema:
+            if grad_accum_steps > 1:
+                # EMA tracks *optimizer* steps (reference: engine.py:95 updates
+                # once per optimizer.step, after the micro-batch loop).
+                is_opt_step = (state.step + 1) % grad_accum_steps == 0
+                new_ema = jax.lax.cond(
+                    is_opt_step,
+                    lambda: EMA.update(state.ema, new_params, ema_decay,
+                                       ema_warmups),
+                    lambda: state.ema)
+            else:
+                new_ema = EMA.update(state.ema, new_params, ema_decay,
+                                     ema_warmups)
+        else:
+            new_ema = state.ema
+
+        proposed = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
             ema=new_ema,
         )
-        metrics = {"loss_total": total, **losses}
+        # Skip the whole update on a non-finite loss (keep the step counter).
+        kept = state.replace(step=state.step + 1)
+        new_state = jax.tree.map(
+            lambda a, b: jnp.where(finite, a, b), proposed, kept)
+        metrics = {"loss_total": total, "finite": finite, **losses}
         return new_state, metrics
 
     return step

@@ -48,6 +48,7 @@ class Trainer:
         milestones=(1000,),
         gamma: float = 0.1,
         warmup_steps: int = 0,
+        grad_accum_steps: int = 1,
         use_ema: bool = True,
         ema_decay: float = 0.9999,
         ema_warmups: int = 2000,
@@ -78,7 +79,12 @@ class Trainer:
         self.shard_b = batch_sharding(self.mesh)
         self.repl = replicated_sharding(self.mesh)
 
-        steps_per_epoch = len(train_loader) if train_loader is not None else 1
+        # Milestones are epochs in the config; convert to *optimizer* steps
+        # (with grad accumulation, the loader yields micro-batches and the
+        # optimizer steps once per grad_accum_steps of them).
+        self.grad_accum_steps = max(int(grad_accum_steps), 1)
+        micro_per_epoch = len(train_loader) if train_loader is not None else 1
+        opt_steps_per_epoch = max(micro_per_epoch // self.grad_accum_steps, 1)
         params_shape = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 128, 3)), train=True)
@@ -86,8 +92,9 @@ class Trainer:
         self.tx = make_optimizer(
             params_shape, lr, backbone_lr, weight_decay=weight_decay,
             clip_max_norm=clip_max_norm,
-            milestones=[m * steps_per_epoch for m in milestones], gamma=gamma,
+            milestones=[m * opt_steps_per_epoch for m in milestones], gamma=gamma,
             warmup_steps=warmup_steps,
+            grad_accum_steps=self.grad_accum_steps,
         )
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(0),
@@ -99,6 +106,7 @@ class Trainer:
             num_classes=model_cfg.num_classes, weight_dict=weight_dict,
             matcher_backend=matcher_backend,
             ema_decay=ema_decay, ema_warmups=ema_warmups, use_ema=use_ema,
+            grad_accum_steps=self.grad_accum_steps,
         )
         self._jit_step = jax.jit(self._step)  # NOTE: donation is pathological on the axon runtime (100x slower)
         self._jit_eval = jax.jit(
@@ -155,28 +163,35 @@ class Trainer:
             }
         return out
 
-    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+    def train_one_epoch(self, epoch: int, print_freq: int = 50,
+                        nan_check_freq: int = 10) -> Dict[str, float]:
+        from ..utils.meters import MetricLogger
+
         self.train_loader.set_epoch(epoch)
-        t0 = time.time()
         n = 0
         agg: Dict[str, float] = {}
+        logger = MetricLogger()
+        total_steps = len(self.train_loader)
         with self.mesh:
-            for batch in self.train_loader:
+            for batch in logger.log_every(
+                    self.train_loader, print_freq,
+                    header=f"Epoch: [{epoch}]", total=total_steps,
+                    log_fn=self.log):
                 db = self._device_batch(batch)
                 self.state, metrics = self._jit_step(self.state, db)
                 n += 1
                 # accumulate on device (async) so the host loader overlaps with
-                # TPU compute; only sync at log points (engine.py logs every
-                # print_freq steps too).
+                # TPU compute; sync only at the NaN-check cadence. The step
+                # itself already *skips* non-finite updates on device
+                # (train_step.py), so nothing is poisoned before we notice.
                 for k, v in metrics.items():
                     agg[k] = agg.get(k, 0.0) + v
-                if n % 50 == 0 or n == 1:
+                if n % nan_check_freq == 0 or n == 1 or n == total_steps:
                     total = float(metrics["loss_total"])
                     if not math.isfinite(total):
                         raise RuntimeError(
                             f"Loss is {total}, stopping training (engine.py:68-71)")
-                    self.log(f"epoch {epoch} step {n}/{len(self.train_loader)} "
-                             f"loss={total:.4f} ({(time.time() - t0) / n:.2f}s/it)")
+                    logger.update(loss=total)
         return {k: float(v) / max(n, 1) for k, v in agg.items()}
 
     # ------------------------------------------------------------------ eval
@@ -207,6 +222,11 @@ class Trainer:
                 scores, kpts = np.asarray(scores), np.asarray(kpts)
                 for b, img_id in enumerate(batch["image_ids"][:n_real]):
                     ev.update(int(img_id), scores[b], kpts[b])
+        # multi-host: merge per-process fragments, then accumulate on every
+        # rank (reference coco_eval.synchronize_between_processes, :93-105)
+        from ..parallel.dist import merge_detections
+
+        ev.dets = merge_detections(ev.dets)
         ev.accumulate()
         stats = ev.summarize()
         self.log("eval: " + json.dumps({k: round(v, 4) for k, v in stats.items()}))
@@ -250,34 +270,47 @@ class Trainer:
                                           for v in k.reshape(-1)],
                             "score": float(s),
                         })
+        # multi-host: gather all ranks' results; rank 0 writes (reference
+        # save_on_master, dist_utils.py:38)
+        from ..parallel.dist import gather_lists, is_main_process
+
+        results = gather_lists(results)
         out_path = out_path or os.path.join(self.output_dir, "results.json")
-        with open(out_path, "w") as f:
-            json.dump(results, f)
-        self.log(f"wrote {len(results)} detections to {out_path}")
+        if is_main_process():
+            with open(out_path, "w") as f:
+                json.dump(results, f)
+            self.log(f"wrote {len(results)} detections to {out_path}")
         return out_path
 
     # ------------------------------------------------------------------- fit
     def fit(self):
+        from ..parallel.dist import is_main_process
+
         log_path = os.path.join(self.output_dir, "log.txt")
         for epoch in range(self.start_epoch, self.epochs):
             train_stats = self.train_one_epoch(epoch)
             stats = self.evaluate()
-            self._tb_scalars(epoch, train_stats, "train/")
-            self._tb_scalars(epoch, stats, "eval/")
             ap = stats.get("AP", -1.0)
-            if epoch % self.save_interval == 0 or ap > self.best_ap:
-                save_checkpoint(os.path.join(self.output_dir, "checkpoint"),
-                                self.state, epoch)
+            # multi-host: checkpoints/TB/log.txt written by rank 0 only
+            # (reference save_on_master, dist_utils.py:38; params are
+            # replicated so every rank holds the same state)
+            if is_main_process():
+                self._tb_scalars(epoch, train_stats, "train/")
+                self._tb_scalars(epoch, stats, "eval/")
+                if epoch % self.save_interval == 0 or ap > self.best_ap:
+                    save_checkpoint(os.path.join(self.output_dir, "checkpoint"),
+                                    self.state, epoch)
+                if ap > self.best_ap:
+                    save_checkpoint(os.path.join(self.output_dir, "best"),
+                                    self.state, epoch)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": epoch,
+                        **{f"train_{k}": v for k, v in train_stats.items()},
+                        **stats,
+                    }) + "\n")
             if ap > self.best_ap:
                 self.best_ap = ap
-                save_checkpoint(os.path.join(self.output_dir, "best"),
-                                self.state, epoch)
-            with open(log_path, "a") as f:
-                f.write(json.dumps({
-                    "epoch": epoch,
-                    **{f"train_{k}": v for k, v in train_stats.items()},
-                    **stats,
-                }) + "\n")
         return self.best_ap
 
     # ---------------------------------------------------------------- resume

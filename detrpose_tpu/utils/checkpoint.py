@@ -25,12 +25,53 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
 
 
 def restore_checkpoint(path: str, template: Any) -> Tuple[Any, int]:
+    """Restore a TrainState; falls back to params/EMA-only on optimizer-state
+    mismatch (reference: src/solver/trainer.py:358-361 re-initializes the
+    optimizer with a warning when its state_dict does not match).
+
+    LR rebase needs no special handling (reference trainer.py:343-377's
+    "override resumed lr drop" hack): the LR here is a pure function of the
+    restored step and the *current* config's schedule, so changing milestones
+    or base LR before resume takes effect immediately.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        path,
-        jax.tree.map(lambda x: x, {"state": template, "epoch": 0}),
-    )
-    return restored["state"], int(restored["epoch"])
+    try:
+        restored = ckptr.restore(
+            path,
+            jax.tree.map(lambda x: x, {"state": template, "epoch": 0}),
+        )
+        return restored["state"], int(restored["epoch"])
+    except Exception as full_err:  # structure/shape mismatch
+        try:
+            partial_tpl = {
+                "params": template.params,
+                "batch_stats": template.batch_stats,
+                "ema": template.ema,
+                "step": template.step,
+            }
+            ckptr2 = ocp.PyTreeCheckpointer()
+            raw = ckptr2.restore(path)
+            rs = raw["state"]
+            restored_state = template.replace(
+                params=jax.tree.map(
+                    lambda t, v: jax.numpy.asarray(v, t.dtype),
+                    partial_tpl["params"], rs["params"]),
+                batch_stats=jax.tree.map(
+                    lambda t, v: jax.numpy.asarray(v, t.dtype),
+                    partial_tpl["batch_stats"], rs["batch_stats"]),
+                ema=(jax.tree.map(
+                    lambda t, v: jax.numpy.asarray(v, t.dtype),
+                    partial_tpl["ema"], rs["ema"])
+                     if partial_tpl["ema"] is not None and rs.get("ema") is not None
+                     else template.ema),
+                step=jax.numpy.asarray(rs.get("step", 0), jax.numpy.int32),
+            )
+            print("WARNING: optimizer state in checkpoint does not match the "
+                  "current optimizer; restored params/EMA only and kept a "
+                  "fresh optimizer (reference trainer.py:358-361).")
+            return restored_state, int(raw.get("epoch", 0))
+        except Exception:
+            raise full_err

@@ -1,0 +1,111 @@
+"""Windowed training meters with ETA, mirroring the reference's MetricLogger /
+SmoothedValue (src/misc/logger.py:13-240) as host-side utilities.
+
+The reference's cross-rank all_reduce of meter values is unnecessary here: the
+trainer's metrics come out of the pjit'd step already globally reduced.
+"""
+from __future__ import annotations
+
+import datetime
+import time
+from collections import deque
+from typing import Dict, Iterable, Optional
+
+
+class SmoothedValue:
+    """Track a series over a sliding window; report median/avg/global avg.
+
+    Reference: src/misc/logger.py:13-74.
+    """
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque: deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value: float, n: int = 1):
+        self.deque.append(value)
+        self.count += n
+        self.total += value * n
+
+    @property
+    def median(self) -> float:
+        d = sorted(self.deque)
+        return d[len(d) // 2] if d else 0.0
+
+    @property
+    def avg(self) -> float:
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    @property
+    def global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+    @property
+    def max(self) -> float:
+        return max(self.deque) if self.deque else 0.0
+
+    @property
+    def value(self) -> float:
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self) -> str:
+        return self.fmt.format(
+            median=self.median, avg=self.avg, global_avg=self.global_avg,
+            max=self.max, value=self.value)
+
+
+class MetricLogger:
+    """Iteration logger with windowed meters, iter/data timing, and ETA.
+
+    Reference: src/misc/logger.py:147-240 (minus CUDA memory, which has no TPU
+    host-visible equivalent; the profiler path covers device memory).
+    """
+
+    def __init__(self, delimiter: str = "  ", window_size: int = 20):
+        self.meters: Dict[str, SmoothedValue] = {}
+        self.delimiter = delimiter
+        self.window_size = window_size
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            if k not in self.meters:
+                self.meters[k] = SmoothedValue(self.window_size)
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, name: str) -> SmoothedValue:
+        if name in self.meters:
+            return self.meters[name]
+        raise AttributeError(name)
+
+    def __str__(self) -> str:
+        return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
+
+    def log_every(self, iterable: Iterable, print_freq: int,
+                  header: str = "", total: Optional[int] = None,
+                  log_fn=print):
+        """Yield from iterable, logging every print_freq iterations with ETA."""
+        total = total if total is not None else len(iterable)  # type: ignore
+        i = 0
+        start = time.time()
+        iter_time = SmoothedValue(self.window_size, fmt="{avg:.4f}")
+        data_time = SmoothedValue(self.window_size, fmt="{avg:.4f}")
+        end = time.time()
+        for obj in iterable:
+            data_time.update(time.time() - end)
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0 or i == total - 1:
+                eta = iter_time.global_avg * (total - i)
+                log_fn(self.delimiter.join([
+                    header, f"[{i}/{total}]",
+                    f"eta: {datetime.timedelta(seconds=int(eta))}",
+                    str(self),
+                    f"time: {iter_time}", f"data: {data_time}",
+                ]))
+            i += 1
+            end = time.time()
+        elapsed = time.time() - start
+        log_fn(f"{header} Total time: {datetime.timedelta(seconds=int(elapsed))} "
+               f"({elapsed / max(total, 1):.4f} s / it)")

@@ -38,7 +38,12 @@ def main():
     from detrpose_tpu.data.coco import CocoKeypointDataset
     from detrpose_tpu.data.transforms import TrainTransforms, EvalTransforms
     from detrpose_tpu.data.loader import KeypointLoader, Prefetcher
+    from detrpose_tpu.parallel.dist import init_distributed
     from detrpose_tpu.train.trainer import Trainer
+
+    # Multi-host bootstrap (no-op single process; reference
+    # dist_utils.init_distributed_mode). Must run before device queries.
+    pidx, pcount = init_distributed()
 
     cfg = LazyConfig.load(args.config)
     LazyConfig.apply_overrides(cfg, args.options)
@@ -50,8 +55,11 @@ def main():
     if args.epochs:
         tp["epochs"] = args.epochs
 
-    mcfg = model_config(cfg.model_size, num_body_points=cfg.num_body_points)
+    overrides = dict(getattr(cfg, "model_overrides", {}) or {})
+    mcfg = model_config(cfg.model_size, num_body_points=cfg.num_body_points,
+                        **overrides)
     model = build_model(mcfg)
+    grad_accum = max(int(tp.get("grad_accum_steps", 1)), 1)
 
     train_loader = val_loader = None
     val_gts = None
@@ -61,19 +69,31 @@ def main():
             args.img_dir, args.ann, K, train=True,
             transforms=TrainTransforms(
                 out_size=tp.get("base_size", 640), num_keypoints=K,
-                policy_epochs=tuple(tp.get("policy_epochs", (5, 29, 48)))))
+                policy_epochs=tuple(tp.get("policy_epochs", (5, 29, 48))),
+                # crop is off by default (no shipped reference config crops);
+                # when enabled, CrowdPose uses clamp semantics
+                # (transforms_crowdpose.py:57-66)
+                use_crop=tp.get("use_crop", False),
+                crop_mode="clamp" if K == 14 else "zero"))
+        # With grad accumulation the loader yields micro-batches of
+        # total/accum (reference engine.py:43-60 splits each batch); with
+        # multiple hosts each process loads total/world_size (reference
+        # get_rank_batch_size, src/solver/trainer.py:70-85).
+        micro_bs = max(tp.get("total_batch_size", 16) // grad_accum // pcount, 1)
         train_loader = Prefetcher(KeypointLoader(
-            tds, tp.get("total_batch_size", 16), K, train=True,
+            tds, micro_bs, K, train=True,
             base_size=tp.get("base_size", 640),
             base_size_repeat=tp.get("base_size_repeat"),
             multiscale_stop_epoch=tp.get("multiscale_stop_epoch", 48),
-            num_queries=mcfg.num_queries))
+            num_queries=mcfg.num_queries,
+            process_index=pidx, process_count=pcount))
     if args.val_img_dir and args.val_ann:
         vds = CocoKeypointDataset(
             args.val_img_dir, args.val_ann, K, train=False,
             transforms=EvalTransforms(out_size=tp.get("base_size", 640)))
         val_loader = KeypointLoader(vds, tp.get("eval_batch_size", 32), K,
-                                    train=False, with_cdn=False, drop_last=False)
+                                    train=False, with_cdn=False, drop_last=False,
+                                    process_index=pidx, process_count=pcount)
         val_gts = {
             img_id: {"anns": [
                 {"keypoints": np.asarray(a["keypoints"], np.float64).reshape(K, 3),
@@ -101,7 +121,11 @@ def main():
         weight_decay=tp.get("weight_decay", 1e-4),
         clip_max_norm=tp.get("clip_max_norm", 0.1),
         milestones=tuple(tp.get("milestones", (1000,))),
+        warmup_steps=tp.get("warmup_steps", 0),
+        grad_accum_steps=grad_accum,
         use_ema=tp.get("use_ema", True),
+        ema_decay=tp.get("ema_decay", 0.9999),
+        ema_warmups=tp.get("ema_warmups", 2000),
     )
     if args.resume:
         trainer.resume(args.resume)
