@@ -137,7 +137,9 @@ class KeypointEvaluator:
             gt_ignore.append(bool(ig))
         order = np.argsort([int(i) for i in gt_ignore], kind="stable")
         gt = [gt[i] for i in order]
-        gt_ignore = np.asarray([gt_ignore[i] for i in order])
+        # dtype=bool matters: an image with detections but zero GTs would
+        # otherwise produce a float64 empty array and break ~gt_ignore
+        gt_ignore = np.asarray([gt_ignore[i] for i in order], dtype=bool)
         gt_iscrowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gt])
 
         if len(gt) and len(dt):
