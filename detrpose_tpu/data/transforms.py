@@ -81,9 +81,24 @@ def random_zoom_out(img: Image.Image, target: Dict, rng: random.Random,
     return canvas, t
 
 
-def random_crop(img: Image.Image, target: Dict, rng: random.Random):
-    """Crop to a random GT box region (transforms.py:211-231), zeroing
-    out-of-crop keypoints and dropping invisible instances (:47-73)."""
+def random_crop(img: Image.Image, target: Dict, rng: random.Random,
+                crop_mode: str = "zero"):
+    """Crop to a random GT box region (transforms.py:211-231).
+
+    NOTE: no *shipped* reference config instantiates RandomCrop (the policy
+    lists the name, but neither include/dataset.py nor
+    include/dataset_crowdpose.py put one in the transform stack) — this is a
+    capability-parity op, off by default in TrainTransforms.
+
+    crop_mode:
+      "zero"  — COCO semantics (src/data/transforms.py:47-73): out-of-crop
+                keypoints get visibility 0 and instances left with no visible
+                keypoints are dropped.
+      "clamp" — CrowdPose semantics (src/data/transforms_crowdpose.py:57-66):
+                keypoints are clamped to the crop border, visibility is kept,
+                and instances are dropped only when their cropped box has zero
+                area (:44-55).
+    """
     if len(target["boxes"]) == 0:
         return img, target
     i = rng.randrange(len(target["boxes"]))
@@ -93,26 +108,54 @@ def random_crop(img: Image.Image, target: Dict, rng: random.Random):
     x1, y1 = int(min(w, x1)), int(min(h, y1))
     if x1 - x0 < 8 or y1 - y0 < 8:
         return img, target
-    img = img.crop((x0, y0, x1, y1))
-    cw, ch = x1 - x0, y1 - y0
+    return crop(img, target, (x0, y0, x1 - x0, y1 - y0), crop_mode)
+
+
+def crop(img: Image.Image, target: Dict, region: Tuple[int, int, int, int],
+         crop_mode: str = "zero"):
+    """Crop to region (x0, y0, w, h); see random_crop for mode semantics.
+
+    Golden-tested against the reference's crop functions
+    (tests/test_transforms_golden.py): "zero" vs src/data/transforms.py:44-73,
+    "clamp" vs src/data/transforms_crowdpose.py:16-67.
+    """
+    x0, y0, cw, ch = region
+    img = img.crop((x0, y0, x0 + cw, y0 + ch))
     t = dict(target)
     boxes = t["boxes"] - np.asarray([x0, y0, x0, y0], np.float32)
     boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
     boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
     kp = t["keypoints"].copy()
-    keep = np.ones(len(boxes), bool)
-    if len(kp):
-        kp[:, :, 0] -= x0
-        kp[:, :, 1] -= y0
-        inside = ((kp[:, :, 0] >= 0) & (kp[:, :, 0] < cw)
-                  & (kp[:, :, 1] >= 0) & (kp[:, :, 1] < ch))
-        kp[:, :, 2] = kp[:, :, 2] * inside
-        kp[kp[:, :, 2] == 0] = 0
-        keep = kp[:, :, 2].sum(1) > 0
+    if crop_mode == "clamp":
+        # CrowdPose: shift, clamp to the crop, keep visibility; drop only
+        # zero-area boxes; area recomputed from the cropped box
+        # (transforms_crowdpose.py:26-66)
+        if len(kp):
+            kp[:, :, 0] = (kp[:, :, 0] - x0).clip(0, cw)
+            kp[:, :, 1] = (kp[:, :, 1] - y0).clip(0, ch)
+        keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+        area = ((boxes[:, 2] - boxes[:, 0])
+                * (boxes[:, 3] - boxes[:, 1])).astype(np.float32)
+    else:
+        # COCO: zero visibility outside the crop; drop instances left with no
+        # visible keypoints (transforms.py:44-73); area kept as-is (:59-62
+        # recomputes box area only into 'area' for boxes — matched below)
+        keep = np.ones(len(boxes), bool)
+        area = ((boxes[:, 2] - boxes[:, 0])
+                * (boxes[:, 3] - boxes[:, 1])).astype(np.float32)
+        if len(kp):
+            kp[:, :, 0] -= x0
+            kp[:, :, 1] -= y0
+            # inclusive bounds: 0 <= x <= w (transforms.py:54-59)
+            inside = ((kp[:, :, 0] >= 0) & (kp[:, :, 0] <= cw)
+                      & (kp[:, :, 1] >= 0) & (kp[:, :, 1] <= ch))
+            kp[:, :, 2] = kp[:, :, 2] * inside
+            kp[kp[:, :, 2] == 0] = 0
+            keep = kp[:, :, 2].sum(1) > 0
     t["boxes"] = boxes[keep].astype(np.float32)
     t["keypoints"] = kp[keep] if len(kp) else kp
     t["labels"] = t["labels"][keep]
-    t["area"] = t["area"][keep]
+    t["area"] = np.asarray(area)[keep]
     return img, t
 
 
@@ -177,13 +220,22 @@ class TrainTransforms:
 
     def __init__(self, out_size: int = 640, num_keypoints: int = 17,
                  policy_epochs: Sequence[int] = (5, 29, 48), seed: int = 0,
-                 use_mosaic: bool = True):
+                 use_mosaic: bool = True, mosaic_prob: float = 0.5,
+                 use_crop: bool = False, crop_prob: float = 0.8,
+                 crop_mode: str = "zero"):
         self.out_size = out_size
         self.K = num_keypoints
         self.policy_epochs = policy_epochs
         self.epoch = 0
         self.rng = random.Random(seed)
         self.use_mosaic = use_mosaic
+        self.mosaic_prob = mosaic_prob
+        # No shipped reference config crops (see random_crop docstring);
+        # use_crop exists for capability parity with the RandomCrop /
+        # transforms_crowdpose.crop classes.
+        self.use_crop = use_crop
+        self.crop_prob = crop_prob
+        self.crop_mode = crop_mode
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -194,14 +246,18 @@ class TrainTransforms:
         p0, p1, p2 = self.policy_epochs
         heavy_on = p0 <= e < p2
 
-        if (heavy_on and rng.random() < 0.5 and self.use_mosaic
-                and dataset is not None and index is not None and e < p1):
+        # container.py:44-63: mosaic is rolled (prob mosaic_prob) only inside
+        # [p0, p1); when it fires, ZoomOut/Crop are skipped for this sample.
+        with_mosaic = (heavy_on and e < p1 and self.use_mosaic
+                       and dataset is not None and index is not None
+                       and rng.random() <= self.mosaic_prob)
+        if with_mosaic:
             img, target = mosaic(dataset, index, rng, self.out_size, self.K)
         elif heavy_on:
-            if rng.random() < 0.5:
+            if rng.random() < 0.5:  # RandomZoomOut internal p (dataset.py:34)
                 img, target = random_zoom_out(img, target, rng)
-            if rng.random() < 0.8:
-                img, target = random_crop(img, target, rng)
+            if self.use_crop and rng.random() < self.crop_prob:
+                img, target = random_crop(img, target, rng, self.crop_mode)
 
         if rng.random() < 0.5:
             img, target = hflip(img, target, self.K)

@@ -25,6 +25,44 @@ def _ns_pkg(name, path):
     return mod
 
 
+def install_torchvision_stub():
+    """torchvision is absent in this environment; the reference's data
+    transforms and PostProcess import it. Provide the handful of symbols
+    actually used (PIL-backed F.crop/F.hflip, box_area, an nms placeholder)."""
+    if "torchvision" in sys.modules:
+        return
+    from PIL import Image
+
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.15.0"
+    transforms = types.ModuleType("torchvision.transforms")
+    functional = types.ModuleType("torchvision.transforms.functional")
+    functional.crop = lambda img, i, j, h, w: img.crop((j, i, j + w, i + h))
+    functional.hflip = lambda img: img.transpose(Image.FLIP_LEFT_RIGHT)
+    functional.pad = lambda img, p: img
+    functional.resize = lambda img, size: img.resize(size[::-1])
+    transforms.functional = functional
+    v2 = types.ModuleType("torchvision.transforms.v2")
+    v2_functional = types.ModuleType("torchvision.transforms.v2.functional")
+    v2.functional = v2_functional
+    transforms.v2 = v2
+    ops = types.ModuleType("torchvision.ops")
+    boxes_mod = types.ModuleType("torchvision.ops.boxes")
+    boxes_mod.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    boxes_mod.nms = None  # imported by postprocesses.py, never called
+    ops.boxes = boxes_mod
+    tv.transforms = transforms
+    tv.ops = ops
+    for name, mod in [("torchvision", tv),
+                      ("torchvision.transforms", transforms),
+                      ("torchvision.transforms.functional", functional),
+                      ("torchvision.transforms.v2", v2),
+                      ("torchvision.transforms.v2.functional", v2_functional),
+                      ("torchvision.ops", ops),
+                      ("torchvision.ops.boxes", boxes_mod)]:
+        sys.modules[name] = mod
+
+
 def load_reference():
     """Returns the reference modules {detrpose, transformer, hybrid_encoder, hgnetv2}."""
     if "omegaconf" not in sys.modules:
@@ -40,6 +78,7 @@ def load_reference():
 
         om.DictConfig = _DictConfig
         om.OmegaConf = _OmegaConf
+        om.ListConfig = list  # referenced by src/data/{container,transforms}.py
         sys.modules["omegaconf"] = om
 
     _ns_pkg("refsrc", f"{REF}/src")
@@ -48,6 +87,7 @@ def load_reference():
     _ns_pkg("refsrc.misc", f"{REF}/src/misc")
     _ns_pkg("refsrc.nn", f"{REF}/src/nn")
     _ns_pkg("refsrc.nn.backbone", f"{REF}/src/nn/backbone")
+    _ns_pkg("refsrc.data", f"{REF}/src/data")
 
     import importlib
 
