@@ -5,7 +5,9 @@ The package is organised bottom-up:
 
 - ``ops``      pure-functional numerics (bilinear sampling, multi-scale deformable
                attention, FDR distribution regression, OKS, positional embeddings)
-               plus fused Pallas TPU kernels for the hot gathers.
+               plus an optional fused Pallas kernel for the deformable-attention
+               gather (``ops/pallas``; the XLA gather stays default by
+               measurement — see tools/pallas_bench.py).
 - ``models``   flax.linen modules (NHWC, bf16-friendly): HGNetv2 backbone,
                HybridEncoder (AIFI + CSP-PAN), deformable pose decoder, post-process.
 - ``data``     COCO / CrowdPose keypoint datasets, keypoint-aware augmentations,
