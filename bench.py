@@ -79,14 +79,50 @@ def main():
 
     ips = batch * iters / dt
     trt_ips = 1000.0 / 9.50  # reference DETRPose-L TRT fp16 V100 (README.md:84)
+
+    # ---- serving-shaped measurement: host uint8 -> H2D transfer -> in-graph
+    # normalize -> model -> postprocess, double-buffered so the next batch's
+    # transfer overlaps this batch's compute. This includes everything the
+    # reference TRT protocol pays except JPEG decode (VERDICT round-1 #9).
+    @jax.jit
+    def fwd_u8(v, img_u8, sizes):
+        img = img_u8.astype(jnp.bfloat16) / 255.0
+        out = model.apply(v, img, train=False)
+        return postprocess(out, sizes, num_body_points=cfg.num_body_points)
+
+    xs_u8 = [(rng.uniform(0, 255, (batch, res, res, 3))).astype(np.uint8)
+             for _ in range(8)]
+    dev = jax.devices()[0]
+    out = fwd_u8(variables, jax.device_put(xs_u8[0], dev), ts)
+    jax.block_until_ready(out)
+    for i in range(warmup):
+        out = fwd_u8(variables, jax.device_put(xs_u8[i % 8], dev), ts)
+    jax.block_until_ready(out)
+
+    outs = []
+    t0 = time.time()
+    nxt = jax.device_put(xs_u8[0], dev)
+    for i in range(iters):
+        cur = nxt
+        if i + 1 < iters:  # prefetch next H2D while this batch computes
+            nxt = jax.device_put(xs_u8[(i + 1) % 8], dev)
+        outs.append(fwd_u8(variables, cur, ts)[0])
+    jax.block_until_ready(outs)
+    dt_srv = time.time() - t0
+    srv_ips = batch * iters / dt_srv
+
     print(json.dumps({
         "metric": f"detrpose_{size}_bs{batch}_{res}px_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / trt_ips, 3),
+        "serving_ips_host_to_device": round(srv_ips, 2),
+        "serving_vs_baseline": round(srv_ips / trt_ips, 3),
     }))
     print(f"# compile={compile_s:.1f}s steady={dt / iters * 1000:.2f}ms/batch "
-          f"({dt / iters / batch * 1000:.3f}ms/img)", file=sys.stderr)
+          f"({dt / iters / batch * 1000:.3f}ms/img) "
+          f"serving={dt_srv / iters * 1000:.2f}ms/batch incl. H2D",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
