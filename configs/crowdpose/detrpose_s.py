@@ -7,7 +7,6 @@ num_body_points = 14
 training_params["output_dir"] = "output/detrpose_s_crowdpose"
 training_params["epochs"] = 176
 training_params["backbone_lr"] = 1e-5
-training_params["grad_accum_steps"] = 1
 training_params["policy_epochs"] = [5, 83, 156]
 training_params["base_size_repeat"] = 20
 training_params["multiscale_stop_epoch"] = 156
