@@ -61,6 +61,8 @@ class ModelConfig:
     energy_decrease_weight: float = 0.0
     # runtime
     remat: bool = False  # rematerialize backbone stages + decoder layers in training
+    # lax.scan over decoder layers in training (see models/decoder.py)
+    scan_layers: bool = True
     dtype: Any = jnp.float32
 
 
@@ -96,14 +98,25 @@ def model_config(size: str = "l", num_body_points: int = 17, **overrides) -> Mod
         setattr(cfg, k, v)
     for k, v in overrides.items():
         setattr(cfg, k, v)
+    # ResNet alternative backbone (reference src/nn/backbone/resnet.py —
+    # present but unused by shipped configs): C3/C4/C5 channels are fixed
+    if cfg.backbone_name.startswith("resnet") and "in_channels" not in overrides:
+        cfg.in_channels = (512, 1024, 2048)
     return cfg
 
 
 def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
-    backbone = HGNetv2(
-        arch=cfg.backbone_name, use_lab=cfg.use_lab, return_idx=tuple(cfg.return_idx),
-        remat=cfg.remat, dtype=cfg.dtype,
-    )
+    if cfg.backbone_name.startswith("resnet"):
+        from ..models.resnet import ResNet
+
+        backbone = ResNet(depth=int(cfg.backbone_name[len("resnet"):]),
+                          return_idx=(1, 2, 3), dtype=cfg.dtype)
+    else:
+        backbone = HGNetv2(
+            arch=cfg.backbone_name, use_lab=cfg.use_lab,
+            return_idx=tuple(cfg.return_idx),
+            remat=cfg.remat, dtype=cfg.dtype,
+        )
     encoder = HybridEncoder(
         in_channels=tuple(cfg.in_channels), feat_strides=tuple(cfg.feat_strides),
         n_levels=cfg.n_levels, hidden_dim=cfg.hidden_dim,
@@ -131,6 +144,7 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         use_grid_fusion=cfg.use_grid_fusion,
         use_kan=cfg.use_kan, kan_grid=cfg.kan_grid,
         remat=cfg.remat,
+        scan_layers=cfg.scan_layers,
         use_energy_refinement=cfg.use_energy_refinement,
         energy_steps=cfg.energy_steps, energy_step_size=cfg.energy_step_size,
         grad_energy=cfg.grad_energy,

@@ -80,11 +80,22 @@ def instantiate(cfg: Any) -> Any:
 
 
 class LazyConfig:
-    """Load/override executable Python config files."""
+    """Load/save/override config files.
+
+    Python configs are executed in a module namespace (reference
+    lazy.py:196-248); ``.yaml`` files round-trip the same tree (reference
+    save :250-303, yaml load :214-220). ``to_py`` pretty-prints a tree as
+    executable Python (reference :373-435).
+    """
 
     @staticmethod
     def load(path: str) -> ConfigDict:
         path = os.path.abspath(path)
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            with open(path) as f:
+                return _wrap(yaml.safe_load(f))
         spec = importlib.util.spec_from_file_location(
             f"_lazyconfig_{uuid.uuid4().hex}", path)
         mod = importlib.util.module_from_spec(spec)
@@ -96,6 +107,56 @@ class LazyConfig:
             if isinstance(v, (dict, list, tuple, int, float, str, bool)) or v is None:
                 cfg[k] = _wrap(v)
         return cfg
+
+    @staticmethod
+    def save(cfg: Mapping, path: str) -> None:
+        """Serialize a config tree to YAML (reference lazy.py:250-303).
+
+        Callable ``_target_`` values are stored as their dotted import path so
+        the file round-trips through ``load`` + ``instantiate``; trees with
+        unserializable leaves fall back to cloudpickle next to the yaml, like
+        the reference (:295-303), using pickle here.
+        """
+        import yaml
+
+        def to_plain(v):
+            if isinstance(v, Mapping):
+                out = {}
+                for k, x in v.items():
+                    if k == "_target_" and callable(x):
+                        x = f"{x.__module__}.{x.__qualname__}"
+                    out[k] = to_plain(x)
+                return out
+            if isinstance(v, (list, tuple)):
+                return [to_plain(x) for x in v]
+            return v
+
+        plain = to_plain(cfg)
+        try:
+            text = yaml.safe_dump(plain, sort_keys=False)
+            with open(path, "w") as f:
+                f.write(text)
+        except yaml.YAMLError:
+            import pickle
+
+            with open(path + ".pkl", "wb") as f:
+                pickle.dump(cfg, f)
+
+    @staticmethod
+    def to_py(cfg: Mapping, prefix: str = "cfg.") -> str:
+        """Pretty-print a config tree as executable python assignments
+        (reference lazy.py:373-435)."""
+        lines: List[str] = []
+
+        def emit(node, path):
+            if isinstance(node, Mapping) and "_target_" not in node:
+                for k, v in node.items():
+                    emit(v, f"{path}.{k}" if path else k)
+            else:
+                lines.append(f"{prefix}{path}={node!r}")
+
+        emit(cfg, "")
+        return "\n".join(lines)
 
     @staticmethod
     def apply_overrides(cfg: ConfigDict, overrides: List[str]) -> ConfigDict:

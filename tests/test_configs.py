@@ -86,3 +86,25 @@ def test_transforms_follow_policy_epochs():
     assert not (tr.policy_epochs[0] <= 156 < tr.policy_epochs[2])  # all off
     # crop disabled by default (no shipped reference config crops)
     assert tr.use_crop is False
+
+
+def test_lazyconfig_yaml_roundtrip(tmp_path):
+    """save -> yaml -> load -> instantiate reproduces the object graph
+    (reference lazy.py:250-303 save, :214-220 yaml load)."""
+    from detrpose_tpu.core.lazy import L, LazyConfig, instantiate
+
+    cfg = {"opt": L(dict)(lr=1e-4, betas=[0.9, 0.999]),
+           "training_params": {"epochs": 52, "name": "x"}}
+    path = str(tmp_path / "cfg.yaml")
+    LazyConfig.save(cfg, path)
+    loaded = LazyConfig.load(path)
+    assert loaded["training_params"]["epochs"] == 52
+    built = instantiate(loaded["opt"])  # _target_ stored as dotted path
+    assert built == {"lr": 1e-4, "betas": [0.9, 0.999]}
+
+
+def test_lazyconfig_to_py():
+    from detrpose_tpu.core.lazy import LazyConfig
+
+    text = LazyConfig.to_py({"a": {"b": 1}, "c": "s"})
+    assert "cfg.a.b=1" in text and "cfg.c='s'" in text
