@@ -20,8 +20,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import MLP, Gate, MultiHeadAttention, get_activation
-from ..ops.ms_deform_attn import ms_deform_attn
+from ..ops.ms_deform_attn import ms_deform_attn as _msda_core
 from ..ops.grid_sample import bilinear_grid_sample
+
+# Rematerialize the deformable gather in the backward pass: its saved corner
+# temporaries are (B, nH, Lq*nP, d_head) per level — with the d_head=32 minor
+# dim they tile-pad 4x on TPU and dominate training HBM (measured: the
+# un-remat'd L train step at bs8/640px wants 36.7G of 15.75G). The gather is
+# memory-bound and cheap to recompute; eval/no-grad paths are unaffected
+# (checkpoint only changes differentiation).
+ms_deform_attn = jax.checkpoint(_msda_core)
 from ..ops.fdr import distance2pose, integral
 from ..ops.misc import inverse_sigmoid
 from ..ops.pos_embed import sine_embedding_2d
@@ -535,6 +543,13 @@ class TransformerDecoder(nn.Module):
     use_kan: bool = False
     kan_grid: int = 3
     remat: bool = False  # jax.checkpoint each decoder layer
+    # Training runs the layer stack under lax.scan (stacked params, one
+    # compiled layer body). scan_layers=False additionally offers an unrolled
+    # training path over sliced stacked params; measured on this TPU runtime
+    # its backward (6 dynamic-slice reads per stacked param) compiles
+    # pathologically slowly, so scan stays the training default. Eval always
+    # unrolls (no backward — XLA fuses across layers, final-layer-only heads).
+    scan_layers: bool = True
     # Experimental energy-based refinement (reference: transformer.py:731-901,
     # config-gated, off in all canonical zoo models). jax.grad replaces the
     # reference's eval-time torch.autograd.grad (engine.py:133).
@@ -623,33 +638,46 @@ class TransformerDecoder(nn.Module):
             jnp.zeros((B, nq, K, d), tgt.dtype),         # last query_pos
             refs_f32,                                    # last layer_ref
         )
-        if train or self.is_initializing():
+        if self.is_initializing() or (train and self.scan_layers):
             carry, (dec_poses, dec_logits, dec_corners) = ScanStep(
                 **step_kwargs, name="dec_scan")(
                 init_carry, jnp.arange(L), value_levels, feat_lqe, project,
                 attn_mask, ref_head_p, pre_head_p)
         else:
-            # Unrolled eval over the SAME stacked params: slice each leaf's
-            # leading layer axis and apply the step functionally. XLA then
-            # fuses across layer boundaries (scan pins the carry to HBM every
-            # iteration — measured 30% eval throughput cost), and class/LQE
-            # heads run only on the final layer (reference short-circuit,
-            # transformer.py:726,907-908).
+            # Unrolled execution over the SAME stacked params: slice each
+            # leaf's leading layer axis and apply the step functionally. XLA
+            # then fuses across layer boundaries — the scan pins the carry to
+            # HBM every iteration (measured: 30% eval throughput, >2x train
+            # step time) — so unrolled is the production default; the scan
+            # path exists for compile-time-bound environments (the CPU
+            # multi-chip dryrun compiles one layer body instead of six).
+            # At eval, class/LQE heads run only on the final layer (reference
+            # short-circuit, transformer.py:726,907-908).
             stacked = self.variables["params"]["dec_scan"]
-            mid = _DecoderStep(**step_kwargs, compute_heads=False, parent=None)
+            mid = _DecoderStep(**step_kwargs,
+                               compute_heads=train, parent=None)
             last = _DecoderStep(**step_kwargs, compute_heads=True, parent=None)
             carry = init_carry
-            y = None
+            ys = []
             for i in range(L):
                 p_i = jax.tree.map(lambda x: x[i], stacked)
                 mod = last if i == L - 1 else mid
-                carry, y = mod.apply(
+                apply_fn = mod.apply
+                if self.remat and train:
+                    apply_fn = jax.checkpoint(mod.apply, prevent_cse=False)
+                carry, y = apply_fn(
                     {"params": p_i}, carry, jnp.asarray(i, jnp.int32),
                     value_levels, feat_lqe, project, attn_mask,
                     ref_head_p, pre_head_p)
-            # 1-element stacks (callers consume [-1]; reference eval appends
-            # only the final layer too)
-            dec_poses, dec_logits, dec_corners = (z[None] for z in y)
+                ys.append(y)
+            if train:
+                # stacked per-layer outputs for deep supervision
+                dec_poses, dec_logits, dec_corners = (
+                    jnp.stack(z) for z in zip(*ys))
+            else:
+                # 1-element stacks (callers consume [-1]; reference eval
+                # appends only the final layer too)
+                dec_poses, dec_logits, dec_corners = (z[None] for z in ys[-1])
         (_, _, _, _, ref_pose_initial, pre_poses, pre_scores,
          last_query_pos, last_layer_ref) = carry
 

@@ -71,6 +71,7 @@ class Transformer(nn.Module):
     use_kan: bool = False
     kan_grid: int = 3
     remat: bool = False
+    scan_layers: bool = True
     # experimental energy refinement (see decoder.TransformerDecoder)
     use_energy_refinement: bool = False
     energy_steps: int = 3
@@ -188,6 +189,7 @@ class Transformer(nn.Module):
                 use_grid_fusion=self.use_grid_fusion,
                 use_kan=self.use_kan, kan_grid=self.kan_grid,
                 remat=self.remat,
+                scan_layers=self.scan_layers,
                 use_energy_refinement=self.use_energy_refinement,
                 energy_steps=self.energy_steps,
                 energy_step_size=self.energy_step_size,

@@ -14,7 +14,7 @@ from detrpose_tpu.configs import model_config, build_model
 from detrpose_tpu.parallel import init_train_state, make_train_step
 from detrpose_tpu.train.optim import make_optimizer
 
-HW = 64
+HW = 128  # N needs >= 60 anchors: strides 16/32 -> 80 at 128px
 K = 17
 
 
@@ -58,19 +58,39 @@ def test_two_micro_steps_equal_one_full_step():
         step = jax.jit(make_train_step(
             model, tx, num_body_points=K, num_classes=cfg.num_classes,
             grad_accum_steps=grad_accum))
+        mids = []
         for b in batches:
             state, metrics = step(state, b)
-        return state, metrics
+            mids.append(state)
+        return state, metrics, mids
 
-    s_accum, m_accum = run(2, [micro, micro])
-    s_full, m_full = run(1, [full])
+    s_accum, m_accum, mids = run(2, [micro, micro])
+    s_full, m_full, _ = run(1, [full])
+
+    # mid-accumulation micro step must NOT touch params (MultiSteps holds
+    # the update until the k-th micro batch)
+    init_params = init_train_state(
+        model, make_optimizer(params_shape, milestones=(1000,)),
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3))).params
+    for a, b in zip(jax.tree.leaves(init_params),
+                    jax.tree.leaves(mids[0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # identical optimizer update (MultiSteps averages micro-grads; the
-    # normalizers agree because the halves are identical)
+    # normalizers agree because the halves are identical). adamw's g/sqrt(v)
+    # flips sign on last-bit differences of near-zero grads (reduction order
+    # bs2 vs bs4), so a handful of elements may differ by up to one full
+    # update (~2*lr); a wiring bug (summed instead of averaged grads, wrong
+    # normalizer) shifts essentially EVERY element, which is what we assert
+    # against.
+    n_tot = n_close = 0
     for pa, pf in zip(jax.tree.leaves(s_accum.params),
                       jax.tree.leaves(s_full.params)):
-        np.testing.assert_allclose(np.asarray(pa), np.asarray(pf),
-                                   rtol=2e-5, atol=2e-6)
+        a, f = np.asarray(pa, np.float64), np.asarray(pf, np.float64)
+        np.testing.assert_allclose(a, f, rtol=0.1, atol=3e-4)  # <= 2 updates
+        n_tot += a.size
+        n_close += int((np.abs(a - f) <= 1e-5 + 1e-5 * np.abs(f)).sum())
+    assert n_close / n_tot > 0.999, (n_close, n_tot)
     # losses match too (identical halves)
     np.testing.assert_allclose(float(m_accum["loss_total"]),
                                float(m_full["loss_total"]), rtol=1e-5)
