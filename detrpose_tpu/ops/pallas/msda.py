@@ -38,9 +38,14 @@ def _msda_kernel(loc_ref, aw_ref, v_ref, o_ref, *, level_shapes, nP, dh, n_q):
     aw_ref:  (1, 1, TQ, nL*nP)   SMEM — attention weights (softmaxed)
     v_ref:   (1, 1, S, dh)       VMEM — this (b, h)'s flattened pyramid
     o_ref:   (1, 1, TQ, dh)      VMEM
-    """
 
-    def q_body(qi, _):
+    Mosaic requires dynamic sublane indices to be provably 8-aligned, so the
+    gather loads an aligned 8-row block and selects the row in-register, and
+    results are stored in aligned 8-query blocks.
+    """
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def q_one(qi):
         acc = jnp.zeros((1, dh), jnp.float32)
         off = 0
         for lvl, (H, W) in enumerate(level_shapes):
@@ -63,14 +68,24 @@ def _msda_kernel(loc_ref, aw_ref, v_ref, o_ref, *, level_shapes, nP, dh, n_q):
                     xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
                     yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
                     idx = off + yi * W + xi
-                    row = v_ref[0, 0, pl.ds(idx, 1), :].astype(jnp.float32)
+                    idx_al = pl.multiple_of((idx // 8) * 8, 8)
+                    block = v_ref[0, 0, pl.ds(idx_al, 8), :]     # (8, dh)
+                    sel = (sub_iota == idx - idx_al).astype(jnp.float32)
+                    row = jnp.sum(block.astype(jnp.float32) * sel,
+                                  axis=0, keepdims=True)         # (1, dh)
                     acc = acc + row * (a * wgt
                                        * valid.astype(jnp.float32))
             off += H * W
-        o_ref[0, 0, pl.ds(qi, 1), :] = acc.astype(o_ref.dtype)
+        return acc
+
+    def q_block(qb, _):
+        rows = [q_one(qb * 8 + j) for j in range(8)]
+        block = jnp.concatenate(rows, axis=0)                    # (8, dh)
+        start = pl.multiple_of(qb * 8, 8)
+        o_ref[0, 0, pl.ds(start, 8), :] = block.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, n_q, q_body, 0)
+    jax.lax.fori_loop(0, n_q // 8, q_block, 0)
 
 
 def ms_deform_attn_pallas(
@@ -94,10 +109,14 @@ def ms_deform_attn_pallas(
                          for v in value_levels)
     dtype = value_levels[0].dtype
 
-    # (B, nH, S, dh) flattened pyramid
+    # (B, nH, S, dh) flattened pyramid; S padded to a multiple of 8 so the
+    # kernel's aligned 8-row block loads never overrun
     vflat = jnp.concatenate(
         [v.reshape(B, -1, nH, dh).transpose(0, 2, 1, 3)
          for v in value_levels], axis=2)
+    s_pad = (-vflat.shape[2]) % 8
+    if s_pad:
+        vflat = jnp.pad(vflat, ((0, 0), (0, 0), (0, s_pad), (0, 0)))
     S = vflat.shape[2]
 
     # pad queries to the tile size

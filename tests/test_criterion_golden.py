@@ -24,24 +24,11 @@ C = 2
 
 
 def _load_ref_criterion():
-    # stub torchvision (+ submodule used by data.dataloader)
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tfm = types.ModuleType("torchvision.transforms")
-        fun = types.ModuleType("torchvision.transforms.functional")
-        fun.resize = lambda *a, **k: None
-        ops = types.ModuleType("torchvision.ops")
-        boxes = types.ModuleType("torchvision.ops.boxes")
-        boxes.nms = lambda *a, **k: None
-        ops.boxes = boxes
-        tv.transforms = tfm
-        tfm.functional = fun
-        tv.ops = ops
-        sys.modules.update({
-            "torchvision": tv, "torchvision.transforms": tfm,
-            "torchvision.transforms.functional": fun,
-            "torchvision.ops": ops, "torchvision.ops.boxes": boxes,
-        })
+    # shared torchvision stub (ref_loader) — the per-test variants used to
+    # shadow each other depending on test order
+    import ref_loader
+
+    ref_loader.install_torchvision_stub()
     _ns_pkg("refsrc", f"{REF}/src")
     _ns_pkg("refsrc.models", f"{REF}/src/models")
     _ns_pkg("refsrc.models.detrpose", f"{REF}/src/models/detrpose")

@@ -13,10 +13,15 @@ from detrpose_tpu.ops.pallas import ms_deform_attn_pallas
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_pallas_msda_matches_xla(seed):
+def test_pallas_msda_matches_xla(seed, monkeypatch):
+    # interpreter mode executes the scalar gather loop in python — keep the
+    # tile small so the test stays fast
+    import detrpose_tpu.ops.pallas.msda as msda_mod
+
+    monkeypatch.setattr(msda_mod, "_TQ", 16)
     rng = np.random.default_rng(seed)
-    B, Lq, nH, nP, dh = 2, 70, 4, 4, 8
-    shapes = [(16, 16), (8, 8), (4, 4)]
+    B, Lq, nH, nP, dh = 1, 12, 2, 2, 8
+    shapes = [(8, 8), (4, 4)]
     nL = len(shapes)
     value_levels = [
         jnp.asarray(rng.normal(size=(B, H, W, nH, dh)).astype(np.float32))
