@@ -63,6 +63,7 @@ class ModelConfig:
     remat: bool = False  # rematerialize backbone stages + decoder layers in training
     # lax.scan over decoder layers in training (see models/decoder.py)
     scan_layers: bool = True
+    scan_unroll: int = 1  # lax.scan unroll factor for the decoder stack
     dtype: Any = jnp.float32
 
 
@@ -145,6 +146,7 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         use_kan=cfg.use_kan, kan_grid=cfg.kan_grid,
         remat=cfg.remat,
         scan_layers=cfg.scan_layers,
+        scan_unroll=cfg.scan_unroll,
         use_energy_refinement=cfg.use_energy_refinement,
         energy_steps=cfg.energy_steps, energy_step_size=cfg.energy_step_size,
         grad_energy=cfg.grad_energy,

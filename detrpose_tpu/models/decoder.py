@@ -23,13 +23,16 @@ from .layers import MLP, Gate, MultiHeadAttention, get_activation
 from ..ops.ms_deform_attn import ms_deform_attn as _msda_core
 from ..ops.grid_sample import bilinear_grid_sample
 
-# Rematerialize the deformable gather in the backward pass: its saved corner
-# temporaries are (B, nH, Lq*nP, d_head) per level — with the d_head=32 minor
-# dim they tile-pad 4x on TPU and dominate training HBM (measured: the
-# un-remat'd L train step at bs8/640px wants 36.7G of 15.75G). The gather is
-# memory-bound and cheap to recompute; eval/no-grad paths are unaffected
-# (checkpoint only changes differentiation).
-ms_deform_attn = jax.checkpoint(_msda_core)
+# Checkpoint the deformable gather with a named-save policy: only the
+# bilinear result in its LANE-FULL (minor = nP*d_head = 128) layout is saved
+# for backward (checkpoint_name in ops/ms_deform_attn.py). Without this the
+# d_head=32-minor corner temporaries tile-pad 4x on TPU and blow training HBM
+# (measured: un-checkpointed L bs8/640px wants 36.7G of 15.75G); with a plain
+# jax.checkpoint the backward re-runs every gather. Eval/no-grad paths are
+# unaffected (checkpoint only changes differentiation).
+ms_deform_attn = jax.checkpoint(
+    _msda_core,
+    policy=jax.checkpoint_policies.save_only_these_names("msda_sampled"))
 from ..ops.fdr import distance2pose, integral
 from ..ops.misc import inverse_sigmoid
 from ..ops.pos_embed import sine_embedding_2d
@@ -550,6 +553,7 @@ class TransformerDecoder(nn.Module):
     # pathologically slowly, so scan stays the training default. Eval always
     # unrolls (no backward — XLA fuses across layers, final-layer-only heads).
     scan_layers: bool = True
+    scan_unroll: int = 1
     # Experimental energy-based refinement (reference: transformer.py:731-901,
     # config-gated, off in all canonical zoo models). jax.grad replaces the
     # reference's eval-time torch.autograd.grad (engine.py:133).
@@ -622,6 +626,12 @@ class TransformerDecoder(nn.Module):
             in_axes=(0,) + (nn.broadcast,) * 6,
             out_axes=0,
             length=L,
+            # unroll > 1 replicates the body inside the loop (static param
+            # slices, fewer loop iterations). Measured on v5e: no step-time
+            # gain for the L train step (56 ms at unroll=6 vs 44-55 at 1) —
+            # the step is bound by the gathers + their checkpointed recompute,
+            # not loop overhead — so 1 (minimum compile time) is the default.
+            unroll=min(self.scan_unroll, L),
         )
 
         zeros_pose = jnp.zeros((B, nq, K, 2), jnp.float32)

@@ -72,6 +72,7 @@ class Transformer(nn.Module):
     kan_grid: int = 3
     remat: bool = False
     scan_layers: bool = True
+    scan_unroll: int = 1
     # experimental energy refinement (see decoder.TransformerDecoder)
     use_energy_refinement: bool = False
     energy_steps: int = 3
@@ -190,6 +191,7 @@ class Transformer(nn.Module):
                 use_kan=self.use_kan, kan_grid=self.kan_grid,
                 remat=self.remat,
                 scan_layers=self.scan_layers,
+                scan_unroll=self.scan_unroll,
                 use_energy_refinement=self.use_energy_refinement,
                 energy_steps=self.energy_steps,
                 energy_step_size=self.energy_step_size,

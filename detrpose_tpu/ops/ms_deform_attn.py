@@ -133,6 +133,15 @@ def ms_deform_attn(
             return g * wv[..., None]
 
         sampled = tap(x0, y0, w00) + tap(x0, y1, w01) + tap(x1, y0, w10) + tap(x1, y1, w11)
+        # Name the bilinear result in a LANE-FULL layout (minor dim nP*dh =
+        # 128) so the training-time checkpoint policy can save exactly this
+        # tensor: the d_head=32-minor corner temporaries would tile-pad 4x on
+        # TPU, and without any save the backward re-runs the gathers. See
+        # models/decoder.py (checkpoint policy around this function).
+        from jax.ad_checkpoint import checkpoint_name
+
+        sampled = checkpoint_name(
+            sampled.reshape(B, nH, Lq, nP * d_head), "msda_sampled")
         # (B, nH, Lq, nP, d_head) weighted by attention.
         sampled = sampled.reshape(B, nH, Lq, nP, d_head)
         aw = attention_weights[:, :, :, lvl].transpose(0, 2, 1, 3)  # (B, nH, Lq, nP)
