@@ -103,9 +103,11 @@ class KeypointEvaluator:
             ("large", [96**2, 1e10]),
         ]
         self.dets: Dict[int, List] = {}
+        self._iou_cache: Dict[int, np.ndarray] = {}
 
     def update(self, image_id: int, scores, keypoints):
         """Add detections for an image: scores (D,), keypoints (D, K, 3)."""
+        self._iou_cache.clear()
         self.dets.setdefault(int(image_id), [])
         for s, k in zip(np.asarray(scores), np.asarray(keypoints)):
             # detection area = keypoint bbox area (pycocotools loadRes for
@@ -116,17 +118,38 @@ class KeypointEvaluator:
                 {"score": float(s), "keypoints": k, "area": area})
 
     def merge(self, others: Sequence["KeypointEvaluator"]):
+        self._iou_cache.clear()
         for o in others:
             for img, d in o.dets.items():
                 self.dets.setdefault(img, []).extend(d)
 
     # -- evaluation core ---------------------------------------------------
+    def _img_ious(self, img_id, gt, dt):
+        """OKS matrix in ORIGINAL gt order; cached — it is independent of the
+        area range, which previously recomputed it 3x per image."""
+        key = img_id
+        cached = self._iou_cache.get(key)
+        if cached is not None:
+            return cached
+        if len(gt) and len(dt):
+            det_k = np.stack([d["keypoints"] for d in dt])
+            gt_k = np.stack([g["keypoints"] for g in gt]).astype(np.float64)
+            areas = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gt])
+            boxes = np.stack([np.asarray(g["bbox"], np.float64) for g in gt])
+            ious = compute_oks(det_k.astype(np.float64), gt_k, areas, self.sigmas,
+                               self.use_area, boxes)
+        else:
+            ious = np.zeros((len(dt), len(gt)))
+        self._iou_cache[key] = ious
+        return ious
+
     def _evaluate_img(self, img_id, area_rng):
         gt = self.gts.get(img_id, {"anns": []})["anns"]
         dt = sorted(self.dets.get(img_id, []), key=lambda d: -d["score"])[: self.max_dets]
         if len(gt) == 0 and len(dt) == 0:
             return None
         T = len(self.iou_thrs)
+        ious_orig = self._img_ious(img_id, gt, dt)
 
         gt_ignore = []
         for g in gt:
@@ -141,16 +164,7 @@ class KeypointEvaluator:
         # otherwise produce a float64 empty array and break ~gt_ignore
         gt_ignore = np.asarray([gt_ignore[i] for i in order], dtype=bool)
         gt_iscrowd = np.asarray([bool(g.get("iscrowd", 0)) for g in gt])
-
-        if len(gt) and len(dt):
-            det_k = np.stack([d["keypoints"] for d in dt])
-            gt_k = np.stack([g["keypoints"] for g in gt]).astype(np.float64)
-            areas = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gt])
-            boxes = np.stack([np.asarray(g["bbox"], np.float64) for g in gt])
-            ious = compute_oks(det_k.astype(np.float64), gt_k, areas, self.sigmas,
-                               self.use_area, boxes)
-        else:
-            ious = np.zeros((len(dt), len(gt)))
+        ious = ious_orig[:, order] if len(gt) else ious_orig
 
         G, D = len(gt), len(dt)
         gtm = -np.ones((T, G), np.int64)
