@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from detrpose_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -148,6 +148,9 @@ def bench_train_step(size: str, batch: int = 8, res: int = 640,
 
 
 def main():
+    from ..utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", nargs="+", default=["n", "s", "m", "l", "x"],
                    choices=["n", "s", "m", "l", "x"])

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--epochs", type=int)
     args = p.parse_args()
 
+    from detrpose_tpu.utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from detrpose_tpu.core import LazyConfig
     from detrpose_tpu.configs import model_config, build_model
     from detrpose_tpu.data.coco import CocoKeypointDataset
