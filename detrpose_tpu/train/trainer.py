@@ -89,10 +89,12 @@ class Trainer:
             lambda: model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 128, 3)), train=True)
         )["params"]
+        self._opt_milestones = [m * opt_steps_per_epoch for m in milestones]
+        self._lr_args = (lr, backbone_lr, gamma, warmup_steps)
         self.tx = make_optimizer(
             params_shape, lr, backbone_lr, weight_decay=weight_decay,
             clip_max_norm=clip_max_norm,
-            milestones=[m * opt_steps_per_epoch for m in milestones], gamma=gamma,
+            milestones=self._opt_milestones, gamma=gamma,
             warmup_steps=warmup_steps,
             grad_accum_steps=self.grad_accum_steps,
         )
@@ -224,12 +226,23 @@ class Trainer:
                     ev.update(int(img_id), scores[b], kpts[b])
         # multi-host: merge per-process fragments, then accumulate on every
         # rank (reference coco_eval.synchronize_between_processes, :93-105)
-        from ..parallel.dist import merge_detections
+        from ..parallel.dist import is_main_process, merge_detections
 
         ev.dets = merge_detections(ev.dets)
         ev.accumulate()
         stats = ev.summarize()
         self.log("eval: " + json.dumps({k: round(v, 4) for k, v in stats.items()}))
+        # per-epoch eval dump (reference trainer.py:296-304 saves the COCOeval
+        # state as eval/latest.pth): precision/recall tables + stats as npz
+        if is_main_process():
+            try:
+                eval_dir = os.path.join(self.output_dir, "eval")
+                os.makedirs(eval_dir, exist_ok=True)
+                np.savez(os.path.join(eval_dir, "latest.npz"),
+                         precision=ev.precision, recall=ev.recall,
+                         **{k: np.float64(v) for k, v in stats.items()})
+            except Exception:
+                pass
         return stats
 
     # ------------------------------------------------------------------ test
@@ -289,6 +302,16 @@ class Trainer:
         log_path = os.path.join(self.output_dir, "log.txt")
         for epoch in range(self.start_epoch, self.epochs):
             train_stats = self.train_one_epoch(epoch)
+            # current LRs per param group (reference logs them to TB,
+            # trainer.py:252-256); pure function of the optimizer step
+            from .optim import multistep_schedule
+
+            base_lr, backbone_lr, gamma, warmup_steps = self._lr_args
+            opt_step = int(self.state.step) // self.grad_accum_steps
+            train_stats["lr"] = float(multistep_schedule(
+                base_lr, self._opt_milestones, gamma, warmup_steps)(opt_step))
+            train_stats["lr_backbone"] = float(multistep_schedule(
+                backbone_lr, self._opt_milestones, gamma, warmup_steps)(opt_step))
             stats = self.evaluate()
             ap = stats.get("AP", -1.0)
             # multi-host: checkpoints/TB/log.txt written by rank 0 only

@@ -130,6 +130,17 @@ def main():
         ema_decay=tp.get("ema_decay", 0.9999),
         ema_warmups=tp.get("ema_warmups", 2000),
     )
+    # snapshot the resolved config into the run directory (reference logs the
+    # config text to TB and pickles args, trainer.py:130-134)
+    from detrpose_tpu.parallel.dist import is_main_process
+
+    if is_main_process():
+        import os
+
+        os.makedirs(tp.get("output_dir", "output"), exist_ok=True)
+        LazyConfig.save(dict(cfg), os.path.join(
+            tp.get("output_dir", "output"), "config.yaml"))
+
     if args.resume:
         trainer.resume(args.resume)
     if args.ckpt_pth:
