@@ -164,3 +164,52 @@ def test_criterion_grads_flow():
     assert float(jnp.abs(g1).sum()) > 0
     assert float(jnp.abs(g2).sum()) > 0
     assert np.isfinite(np.asarray(g1)).all() and np.isfinite(np.asarray(g2)).all()
+
+
+@pytest.mark.slow
+def test_crowdpose_14kpt_train_step():
+    """One full train step with num_body_points=14 (CrowdPose head): CDN,
+    matcher, criterion, and FDR all parameterize on K (reference swaps
+    num_body_points on transformer/criterion/matcher/postprocessor,
+    detrpose_hgnetv2_l_crowdpose.py:41-44)."""
+    import jax.numpy as jnp
+
+    from detrpose_tpu.configs import build_model, model_config
+    from detrpose_tpu.parallel import init_train_state, make_train_step
+    from detrpose_tpu.train.cdn import build_cdn
+    from detrpose_tpu.train.optim import make_optimizer
+
+    K, HW, B, G = 14, 128, 2, 3
+    cfg = model_config("n", num_body_points=K)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    kxy = rng.uniform(0.2, 0.8, (B, G, K, 2)).astype(np.float32)
+    targets = {
+        "labels": np.zeros((B, G), np.int32),
+        "boxes": np.concatenate(
+            [kxy.mean(2), np.full((B, G, 2), 0.25, np.float32)], -1),
+        "keypoints": np.concatenate(
+            [kxy.reshape(B, G, 2 * K), np.ones((B, G, K), np.float32)], -1),
+        "area": np.full((B, G), 0.05, np.float32),
+        "valid": np.ones((B, G), bool),
+    }
+    dn = build_cdn(targets, cfg.num_queries, K, (HW, HW), rng)
+    params_shape = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, HW, HW, 3)), train=True))["params"]
+    tx = make_optimizer(params_shape, milestones=(1000,))
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.zeros((1, HW, HW, 3)))
+    step = jax.jit(make_train_step(model, tx, num_body_points=K,
+                                   num_classes=cfg.num_classes))
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (B, HW, HW, 3)).astype(np.float32)),
+        "targets": jax.tree.map(jnp.asarray, targets),
+        "dn": {k: (jax.tree.map(jnp.asarray, v)
+                   if k not in ("pad_size", "num_dn_group") else v)
+               for k, v in dn.items()},
+    }
+    new_state, metrics = step(state, batch)
+    assert bool(metrics["finite"])
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert int(new_state.step) == 1
