@@ -103,7 +103,16 @@ def main():
     from PIL import Image
 
     run, variables = build_pipeline(args.size, args.num_body_points, args.ckpt)
-    os.makedirs(args.output, exist_ok=True)
+    # --output may be a directory or a concrete file path (e.g. out.mp4,
+    # matching the usage line above); a folder input always needs a directory
+    out_is_file = args.output.lower().endswith(
+        (".jpg", ".jpeg", ".png", ".mp4", ".avi", ".mov"))
+    if out_is_file:
+        parent = os.path.dirname(args.output)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+    else:
+        os.makedirs(args.output, exist_ok=True)
 
     def infer_image(path, out_path):
         img = np.asarray(Image.open(path).convert("RGB"))
@@ -146,14 +155,17 @@ def main():
 
     inp = args.input
     if os.path.isdir(inp):
+        assert not out_is_file, "--output must be a directory for folder input"
         for f in sorted(os.listdir(inp)):
             if f.lower().endswith((".jpg", ".jpeg", ".png")):
                 infer_image(os.path.join(inp, f),
                             os.path.join(args.output, f))
     elif inp.lower().endswith((".mp4", ".avi", ".mov")):
-        infer_video(inp, os.path.join(args.output, "out.mp4"))
+        infer_video(inp, args.output if out_is_file
+                    else os.path.join(args.output, "out.mp4"))
     else:
-        infer_image(inp, os.path.join(args.output, os.path.basename(inp)))
+        infer_image(inp, args.output if out_is_file
+                    else os.path.join(args.output, os.path.basename(inp)))
 
 
 if __name__ == "__main__":
