@@ -96,6 +96,9 @@ def load_exported(out_dir: str):
 
 
 def main():
+    from ..utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="l", choices=["n", "s", "m", "l", "x"])
     p.add_argument("--num-body-points", type=int, default=17)

@@ -90,6 +90,9 @@ def build_pipeline(size: str, num_body_points: int, ckpt: str | None,
 
 
 def main():
+    from ..utils.compilation_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="l", choices=["n", "s", "m", "l", "x"])
     p.add_argument("--num-body-points", type=int, default=17)
