@@ -77,3 +77,48 @@ def test_sharded_train_step_n():
     assert int(state3.step) == 2
     # losses include dn terms
     assert any(k.endswith("_dn_0") for k in metrics)
+
+
+@pytest.mark.slow
+def test_sharded_batched_inference_matches_single_device():
+    """Multi-chip batched serving (BASELINE config #5): the eval program
+    batch-sharded over the 8-device mesh must produce the same detections as
+    a single-device run — pjit replaces the reference's per-GPU TRT engines
+    with one sharded XLA program."""
+    from detrpose_tpu.models import postprocess
+
+    K, H, W = 17, 128, 128
+    n_dev = len(jax.devices())
+    B = n_dev * 2  # 2 images per device
+
+    cfg = model_config("n")
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    ts = np.full((B, 2), 640.0, np.float32)
+
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False))()
+
+    def fwd(v, img, sizes):
+        return postprocess(model.apply(v, img, train=False), sizes,
+                           num_body_points=K)
+
+    # single device
+    s1, l1, k1 = jax.jit(fwd)(variables, jnp.asarray(x), jnp.asarray(ts))
+
+    # batch sharded over the mesh, params replicated
+    mesh = make_mesh()
+    shard_b = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    with mesh:
+        sharded = jax.jit(fwd, in_shardings=(repl, shard_b, shard_b))
+        s8, l8, k8 = sharded(jax.device_put(variables, repl),
+                             jax.device_put(jnp.asarray(x), shard_b),
+                             jax.device_put(jnp.asarray(ts), shard_b))
+
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(k8), np.asarray(k1),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(l8), np.asarray(l1))
