@@ -104,7 +104,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_COORDINATOR_ADDRESS"] = sys.argv[1]
 os.environ["JAX_NUM_PROCESSES"] = "2"
 os.environ["JAX_PROCESS_ID"] = sys.argv[2]
-from detrpose_tpu.parallel.dist import init_distributed, merge_detections
+from detrpose_tpu.parallel.dist import (
+    gather_lists, init_distributed, merge_detections,
+)
 import numpy as np
 
 pidx, pcount = init_distributed()
@@ -113,6 +115,8 @@ dets = {pidx: [{"score": float(pidx), "keypoints": np.zeros((17, 3))}]}
 merged = merge_detections(dets)
 assert sorted(merged.keys()) == [0, 1], merged.keys()
 assert merged[0][0]["score"] == 0.0 and merged[1][0]["score"] == 1.0
+results = gather_lists([{"image_id": pidx}])
+assert sorted(r["image_id"] for r in results) == [0, 1], results
 print(f"proc {pidx}: merged ok")
 """
 
