@@ -51,6 +51,10 @@ class ModelConfig:
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
+    # deformable-attention gather backend: "gather" (default) or "pallas"
+    # (fused Pallas kernel, ops/pallas/msda.py — opt-in: measured 12x slower
+    # on this TPU, kept for environments where the measurement favors it)
+    msda_backend: str = "gather"
     use_kan: bool = False
     kan_grid: int = 3
     # experimental energy refinement (reference energy configs)
@@ -95,9 +99,12 @@ _SIZE_OVERRIDES = {
 
 def model_config(size: str = "l", num_body_points: int = 17, **overrides) -> ModelConfig:
     cfg = ModelConfig(size=size, num_body_points=num_body_points)
+    known = {f.name for f in dataclasses.fields(ModelConfig)}
     for k, v in _SIZE_OVERRIDES[size].items():
         setattr(cfg, k, v)
     for k, v in overrides.items():
+        if k not in known:
+            raise TypeError(f"unknown ModelConfig override: {k!r}")
         setattr(cfg, k, v)
     # ResNet alternative backbone (reference src/nn/backbone/resnet.py —
     # present but unused by shipped configs): C3/C4/C5 channels are fixed
@@ -143,6 +150,7 @@ def build_model(cfg: ModelConfig, deploy: bool = False) -> DETRPose:
         grid_num_points=cfg.grid_num_points,
         use_grid_offsets=cfg.use_grid_offsets,
         use_grid_fusion=cfg.use_grid_fusion,
+        msda_backend=cfg.msda_backend,
         use_kan=cfg.use_kan, kan_grid=cfg.kan_grid,
         remat=cfg.remat,
         scan_layers=cfg.scan_layers,

@@ -89,7 +89,17 @@ class MSDeformAttn(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
+    # "gather" (default, ops/ms_deform_attn.py) or "pallas" (fused VMEM kernel,
+    # ops/pallas/msda.py — opt-in: measured slower on this TPU, see pallas_bench)
+    msda_backend: str = "gather"
     dtype: Any = jnp.float32
+
+    def _msda(self, value_levels, loc, aw):
+        if self.msda_backend == "pallas":
+            from ..ops.pallas.msda import ms_deform_attn_pallas
+
+            return ms_deform_attn_pallas(value_levels, loc, aw)
+        return ms_deform_attn(value_levels, loc, aw)
 
     @nn.compact
     def __call__(
@@ -187,7 +197,7 @@ class MSDeformAttn(nn.Module):
             [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32
         ).reshape(1, 1, 1, nL, 1, 2)
         loc = reference_points[:, :, None, None, None, :] + offsets / normalizer
-        local_out = ms_deform_attn(value_levels, loc, aw)
+        local_out = self._msda(value_levels, loc, aw)
 
         # optional coarse grid-attention branch (ms_deform_attn.py:446-510):
         # a fixed gs x gs grid of global sampling points per level, optionally
@@ -227,7 +237,7 @@ class MSDeformAttn(nn.Module):
                 grid_loc = base + goff / normalizer
             else:
                 grid_loc = base
-            grid_out = ms_deform_attn(value_levels, grid_loc, gaw)
+            grid_out = self._msda(value_levels, grid_loc, gaw)
             if self.use_grid_fusion:
                 return nn.Dense(self.d_model, dtype=self.dtype,
                                 name="grid_fuse_proj")(
@@ -282,6 +292,7 @@ class DeformableDecoderLayer(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
+    msda_backend: str = "gather"
     # FastKAN FFN variant (reference: transformer.py:371-385, use_kan configs).
     use_kan: bool = False
     kan_grid: int = 3
@@ -338,6 +349,7 @@ class DeformableDecoderLayer(nn.Module):
                           grid_num_points=self.grid_num_points,
                           use_grid_offsets=self.use_grid_offsets,
                           use_grid_fusion=self.use_grid_fusion,
+                          msda_backend=self.msda_backend,
                           dtype=self.dtype, name="cross_attn")(
             q, refs, value_levels, spatial_shapes)
         x = Gate(self.d_model, dtype=self.dtype, name="gateway")(
@@ -421,6 +433,7 @@ class _DecoderStep(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
+    msda_backend: str = "gather"
     use_kan: bool = False
     kan_grid: int = 3
     dtype: Any = jnp.float32
@@ -454,6 +467,7 @@ class _DecoderStep(nn.Module):
             grid_num_points=self.grid_num_points,
             use_grid_offsets=self.use_grid_offsets,
             use_grid_fusion=self.use_grid_fusion,
+            msda_backend=self.msda_backend,
             use_kan=self.use_kan, kan_grid=self.kan_grid,
             dtype=self.dtype, name="layer",
         )(out, query_pos, refpoint_pose, value_levels, self.spatial_shapes,
@@ -543,6 +557,7 @@ class TransformerDecoder(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
+    msda_backend: str = "gather"
     use_kan: bool = False
     kan_grid: int = 3
     remat: bool = False  # jax.checkpoint each decoder layer
@@ -614,6 +629,7 @@ class TransformerDecoder(nn.Module):
             grid_num_points=self.grid_num_points,
             use_grid_offsets=self.use_grid_offsets,
             use_grid_fusion=self.use_grid_fusion,
+            msda_backend=self.msda_backend,
             use_kan=self.use_kan, kan_grid=self.kan_grid,
             dtype=self.dtype,
         )

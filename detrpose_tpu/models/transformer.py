@@ -68,6 +68,7 @@ class Transformer(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
+    msda_backend: str = "gather"
     use_kan: bool = False
     kan_grid: int = 3
     remat: bool = False
@@ -151,6 +152,12 @@ class Transformer(nn.Module):
             lab = jnp.take(label_enc, dn["labels"], axis=0)       # (B, pad, hd)
             pose_tok = jnp.broadcast_to(pose_enc[None, None], (B, pad, K, hd))
             dn_tokens = jnp.concatenate([lab[:, :, None], pose_tok], axis=2)
+            if "slot_used" in dn:
+                # unused slots carry ZERO content embeddings (reference
+                # padding_label zeros, dn_component.py:141-148) — they are
+                # visible to their group's real slots in across-instance attn.
+                dn_tokens = jnp.where(
+                    dn["slot_used"][:, :, None, None], dn_tokens, 0.0)
             tgt_tokens = jnp.concatenate([dn_tokens.astype(self.dtype), tgt_tokens], axis=1)
             refpoints = jnp.concatenate(
                 [jax.nn.sigmoid(dn["pose_logits"]), refpoints], axis=1)
@@ -188,6 +195,7 @@ class Transformer(nn.Module):
                 grid_num_points=self.grid_num_points,
                 use_grid_offsets=self.use_grid_offsets,
                 use_grid_fusion=self.use_grid_fusion,
+                msda_backend=self.msda_backend,
                 use_kan=self.use_kan, kan_grid=self.kan_grid,
                 remat=self.remat,
                 scan_layers=self.scan_layers,

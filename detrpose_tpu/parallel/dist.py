@@ -101,16 +101,34 @@ def _allgather_bytes(payload: bytes) -> List[bytes]:
     return [gathered[i, : int(sizes[i])].tobytes() for i in range(len(sizes))]
 
 
-def gather_lists(items: list, allgather=None) -> list:
+def gather_lists(items: list, allgather=None, dedup_key=None) -> list:
     """Concatenate a per-process list across all hosts (for the test-dev
-    results.json collection, reference src/solver/engine.py:143-157)."""
+    results.json collection, reference src/solver/engine.py:143-157).
+
+    ``dedup_key``: optional ``item -> hashable``. shard_indices wrap-pads the
+    per-process shards, so up to process_count-1 images are processed on two
+    ranks; with a key function, items whose key already appeared in an earlier
+    rank's blob are dropped (first blob wins — the reference dedups merged
+    images via np.unique, coco_eval.py:228)."""
     if allgather is None:
         if jax.process_count() <= 1:
             return list(items)
         allgather = _allgather_bytes
     out: list = []
+    seen: set = set()
     for blob in allgather(pickle.dumps(list(items))):
-        out.extend(pickle.loads(blob))
+        chunk = pickle.loads(blob)
+        if dedup_key is None:
+            out.extend(chunk)
+            continue
+        mine = set()
+        for item in chunk:
+            k = dedup_key(item)
+            if k in seen:
+                continue
+            mine.add(k)
+            out.append(item)
+        seen |= mine
     return out
 
 
@@ -119,7 +137,10 @@ def merge_detections(dets: Dict[int, list], allgather=None) -> Dict[int, list]:
 
     Every process returns the same merged dict (reference
     coco_eval.synchronize_between_processes merges on every rank,
-    coco_eval.py:93-105). `allgather` is injectable for tests.
+    coco_eval.py:93-105). Each image id belongs to exactly one logical shard
+    but shard_indices wrap-pads, so an image can be evaluated on two ranks;
+    first blob wins per image id (the reference dedups merged images via
+    np.unique, coco_eval.py:228). `allgather` is injectable for tests.
     """
     if allgather is None:
         if jax.process_count() <= 1:
@@ -128,5 +149,6 @@ def merge_detections(dets: Dict[int, list], allgather=None) -> Dict[int, list]:
     merged: Dict[int, list] = {}
     for blob in allgather(pickle.dumps(dets)):
         for img, d in pickle.loads(blob).items():
-            merged.setdefault(img, []).extend(d)
+            if img not in merged:
+                merged[img] = list(d)
     return merged

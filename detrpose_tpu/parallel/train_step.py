@@ -104,8 +104,12 @@ def make_train_step(
         if state.ema is not None and use_ema:
             if grad_accum_steps > 1:
                 # EMA tracks *optimizer* steps (reference: engine.py:95 updates
-                # once per optimizer.step, after the micro-batch loop).
-                is_opt_step = (state.step + 1) % grad_accum_steps == 0
+                # once per optimizer.step, after the micro-batch loop). Derive
+                # the boundary from the MultiSteps state itself — mini_step
+                # wraps to 0 exactly when the inner optimizer applied — so a
+                # skipped (non-finite) update, which reverts mini_step but
+                # still advances state.step, cannot desync the EMA cadence.
+                is_opt_step = new_opt.mini_step == 0
                 new_ema = jax.lax.cond(
                     is_opt_step,
                     lambda: EMA.update(state.ema, new_params, ema_decay,

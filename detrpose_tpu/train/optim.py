@@ -80,10 +80,21 @@ def make_optimizer(
          "frozen": optax.set_to_zero()},
         label_fn(params),
     )
+    k = max(int(grad_accum_steps), 1)
+    pre = []
+    if k > 1:
+        # Reference semantics (engine.py:43-85): micro-batch losses are NOT
+        # divided by k, so backward() accumulates the SUM of micro gradients,
+        # and clip_grad_norm_ clips that sum. optax.MultiSteps accumulates the
+        # MEAN; rescale by k before clipping so the clipped quantity (and how
+        # often the 0.1 threshold engages) matches the reference exactly.
+        pre.append(optax.scale(float(k)))
     if clip_max_norm and clip_max_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
-    if grad_accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+        pre.append(optax.clip_by_global_norm(clip_max_norm))
+    if pre:
+        tx = optax.chain(*pre, tx)
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
     return tx
 
 
