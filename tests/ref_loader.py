@@ -39,11 +39,30 @@ def install_torchvision_stub():
     functional = types.ModuleType("torchvision.transforms.functional")
     functional.crop = lambda img, i, j, h, w: img.crop((j, i, j + w, i + h))
     functional.hflip = lambda img: img.transpose(Image.FLIP_LEFT_RIGHT)
-    functional.pad = lambda img, p: img
-    functional.resize = lambda img, size: img.resize(size[::-1])
+
+    def _pad(img, padding, fill=0, padding_mode="constant"):
+        # torchvision F.pad PIL semantics: padding [l, t, r, b] (or [lr, tb],
+        # or int)
+        if isinstance(padding, int):
+            l = t = r = b = padding
+        elif len(padding) == 2:
+            l, t = padding
+            r, b = padding
+        else:
+            l, t, r, b = padding
+        canvas = Image.new(img.mode, (img.width + l + r, img.height + t + b),
+                           fill)
+        canvas.paste(img, (l, t))
+        return canvas
+
+    functional.pad = _pad
+    # torchvision F.resize default interpolation is bilinear; size is (h, w)
+    functional.resize = lambda img, size: img.resize(
+        tuple(size[::-1]), Image.BILINEAR)
     transforms.functional = functional
     v2 = types.ModuleType("torchvision.transforms.v2")
     v2_functional = types.ModuleType("torchvision.transforms.v2.functional")
+    v2_functional.get_size = lambda img: [img.height, img.width]
     v2.functional = v2_functional
     transforms.v2 = v2
     ops = types.ModuleType("torchvision.ops")
