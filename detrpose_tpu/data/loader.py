@@ -200,10 +200,21 @@ class Prefetcher:
 
 
 def _resize_batch(images: np.ndarray, size: int) -> np.ndarray:
+    """Float-path antialiased bilinear resize of the collated batch.
+
+    Reference: torchvision F.resize on the stacked float tensor
+    (dataloader.py:4,105) — with an unpinned torchvision that is antialiased
+    bilinear (the tensor kernel was written to match PIL's triangle filter).
+    Resizing per channel as PIL mode-"F" keeps full float precision (the old
+    uint8 round-trip quantized activations to 8 bits; golden-tested against
+    torch interpolate(antialias=True) in tests/test_data_eval.py).
+    """
     from PIL import Image
 
     out = np.empty((images.shape[0], size, size, 3), np.float32)
     for i, im in enumerate(images):
-        pil = Image.fromarray((im * 255).astype(np.uint8))
-        out[i] = np.asarray(pil.resize((size, size), Image.BILINEAR), np.float32) / 255.0
+        for c in range(3):
+            ch = Image.fromarray(np.ascontiguousarray(im[:, :, c]), mode="F")
+            out[i, :, :, c] = np.asarray(
+                ch.resize((size, size), Image.BILINEAR), np.float32)
     return out

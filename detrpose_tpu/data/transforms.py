@@ -40,6 +40,25 @@ def hflip(img: Image.Image, target: Dict, num_keypoints: int = 17):
     return img, t
 
 
+def resize_shorter(img: Image.Image, target: Dict, size: int,
+                   max_size: int | None = None):
+    """Aspect-preserving resize: shorter side -> `size`, optionally capped so
+    the longer side stays <= max_size (reference transforms.py:104-165,
+    including the int() truncation of the scaled long side)."""
+    w, h = img.size
+    if max_size is not None:
+        mn, mx = float(min(w, h)), float(max(w, h))
+        if mx / mn * size > max_size:
+            size = int(round(max_size * mn / mx))
+    if (w <= h and w == size) or (h <= w and h == size):
+        ow, oh = w, h
+    elif w < h:
+        ow, oh = size, int(size * h / w)
+    else:
+        oh, ow = size, int(size * w / h)
+    return resize(img, target, (ow, oh))
+
+
 def resize(img: Image.Image, target: Dict, size: Tuple[int, int]):
     """Resize to exact (w, h)."""
     w0, h0 = img.size
@@ -60,24 +79,29 @@ def resize(img: Image.Image, target: Dict, size: Tuple[int, int]):
 
 
 def random_zoom_out(img: Image.Image, target: Dict, rng: random.Random,
-                    max_ratio: float = 2.0, fill=(123, 117, 104)):
-    """Place the image on a larger canvas (transforms.py:195-208)."""
+                    side_range: Tuple[float, float] = (1.0, 2.5), fill=0):
+    """Zoom out by SYMMETRIC padding (reference transforms.py:195-208 + pad
+    :168-192): ratio ~ U(side_range), pad_w = int((ratio-1)*w) on BOTH left and
+    right (likewise pad_h top/bottom), so the image is centered on a canvas up
+    to ~4x per axis, fill 0. Keypoints shift only where visible (pad zeroes
+    v==0 rows, :183)."""
     w, h = img.size
-    r = rng.uniform(1.0, max_ratio)
-    nw, nh = int(w * r), int(h * r)
-    left = rng.randint(0, nw - w)
-    top = rng.randint(0, nh - h)
-    canvas = Image.new("RGB", (nw, nh), fill)
-    canvas.paste(img, (left, top))
+    r = rng.uniform(side_range[0], side_range[1])
+    pad_w = int((r - 1.0) * w)
+    pad_h = int((r - 1.0) * h)
+    canvas = Image.new("RGB", (w + 2 * pad_w, h + 2 * pad_h), fill)
+    canvas.paste(img, (pad_w, pad_h))
     t = dict(target)
     if len(t["boxes"]):
-        t["boxes"] = (t["boxes"] + np.asarray([left, top, left, top])).astype(np.float32)
+        t["boxes"] = (t["boxes"] + np.asarray(
+            [pad_w, pad_h, pad_w, pad_h])).astype(np.float32)
     if len(t["keypoints"]):
         kp = t["keypoints"].copy()
         vis = kp[:, :, 2] > 0
-        kp[:, :, 0] += left * vis
-        kp[:, :, 1] += top * vis
+        kp[:, :, 0] += pad_w * vis
+        kp[:, :, 1] += pad_h * vis
         t["keypoints"] = kp
+    t["size"] = np.asarray([h + 2 * pad_h, w + 2 * pad_w], np.float32)
     return canvas, t
 
 
@@ -159,31 +183,88 @@ def crop(img: Image.Image, target: Dict, region: Tuple[int, int, int, int],
     return img, t
 
 
+def adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
+    """Hue shift via uint8 HSV wraparound — torchvision's PIL adjust_hue
+    semantics (the backend the reference's ColorJitter uses on PIL inputs,
+    transforms.py:439-442); golden vs colorsys in tests."""
+    if not -0.5 <= hue_factor <= 0.5:
+        raise ValueError(f"hue_factor {hue_factor} not in [-0.5, 0.5]")
+    if img.mode in {"L", "1", "I", "F"}:
+        return img
+    h, s, v = img.convert("HSV").split()
+    np_h = np.array(h, dtype=np.uint8)
+    # uint8 wraparound add (torchvision does np.uint8(hue_factor * 255) +=,
+    # relying on numpy-1 overflow wrapping; numpy>=2 raises, so wrap explicitly)
+    shift = np.uint8(int(hue_factor * 255) & 0xFF)
+    with np.errstate(over="ignore"):
+        np_h += shift
+    h = Image.fromarray(np_h, "L")
+    return Image.merge("HSV", (h, s, v)).convert(img.mode)
+
+
+def sample_jitter_params(rng: random.Random, brightness=0.4, contrast=0.4,
+                         saturation=0.4, hue=0.4, p=0.5):
+    """The reference ColorJitter's sampling protocol (transforms.py:391-443):
+    with probability p, all four ops fire in a RANDOM order, factors
+    brightness/contrast/saturation ~ U(1-m, 1+m), hue ~ U(-hue, +hue).
+    Returns [] when the whole jitter is skipped."""
+    if rng.random() >= p:
+        return []
+    ops = [("brightness", 1 - brightness, 1 + brightness),
+           ("contrast", 1 - contrast, 1 + contrast),
+           ("saturation", 1 - saturation, 1 + saturation),
+           ("hue", -hue, hue)]
+    order = list(range(4))
+    rng.shuffle(order)  # torch.randperm(4) equivalent (:424)
+    return [(ops[i][0], rng.uniform(ops[i][1], ops[i][2])) for i in order]
+
+
+_JITTER_APPLY = {
+    "brightness": lambda img, f: ImageEnhance.Brightness(img).enhance(f),
+    "contrast": lambda img, f: ImageEnhance.Contrast(img).enhance(f),
+    "saturation": lambda img, f: ImageEnhance.Color(img).enhance(f),
+    "hue": adjust_hue,
+}
+
+
 def color_jitter(img: Image.Image, rng: random.Random, brightness=0.4,
-                 contrast=0.4, saturation=0.4):
-    for enh, mag in [(ImageEnhance.Brightness, brightness),
-                     (ImageEnhance.Contrast, contrast),
-                     (ImageEnhance.Color, saturation)]:
-        f = rng.uniform(1 - mag, 1 + mag)
-        img = enh(img).enhance(f)
+                 contrast=0.4, saturation=0.4, hue=0.4, p=0.5):
+    """Reference ColorJitter (transforms.py:391-443): brightness/contrast/
+    saturation AND hue (0.4 each), all-or-nothing with probability p, random
+    op order. PIL backends match torchvision's PIL paths (ImageEnhance +
+    HSV-uint8 hue)."""
+    for name, f in sample_jitter_params(rng, brightness, contrast,
+                                        saturation, hue, p):
+        img = _JITTER_APPLY[name](img, f)
     return img
 
 
-def mosaic(dataset, idx: int, rng: random.Random, out_size: int = 640,
-           num_keypoints: int = 17):
-    """2x2 mosaic of 4 samples (transforms.py:314-389)."""
-    cell = out_size // 2
-    ids = [idx] + [rng.randrange(len(dataset)) for _ in range(3)]
-    canvas = Image.new("RGB", (out_size, out_size))
-    all_t: Dict[str, List] = {"boxes": [], "labels": [], "keypoints": [], "area": []}
-    merged = None
-    for i, sid in enumerate(ids):
+def mosaic(dataset, idx: int, rng: random.Random, cell_size: int = 320,
+           num_keypoints: int = 17, sample_ids: Sequence[int] | None = None):
+    """2x2 mosaic of 4 samples (reference transforms.py:314-389).
+
+    Each sample is resized ASPECT-PRESERVING to shorter side `cell_size`
+    (RandomResize(sizes=[320]), :318), then pasted at the corner offsets
+    [0,0], [max_w,0], [0,max_h], [max_w,max_h] of a 2*max_w x 2*max_h black
+    canvas (:347-351); keypoints shift only where visible (:361).
+    `sample_ids` overrides the 3 random partner indices (for golden tests).
+    """
+    if sample_ids is None:
+        sample_ids = [rng.randrange(len(dataset)) for _ in range(3)]
+    imgs, tgts = [], []
+    max_w = max_h = 0
+    for sid in [idx] + list(sample_ids):
         img, t = dataset.load_raw(sid)
-        img, t = resize(img, t, (cell, cell))
-        ox, oy = (i % 2) * cell, (i // 2) * cell
+        img, t = resize_shorter(img, t, cell_size)
+        max_w, max_h = max(max_w, img.size[0]), max(max_h, img.size[1])
+        imgs.append(img)
+        tgts.append(t)
+    offsets = [(0, 0), (max_w, 0), (0, max_h), (max_w, max_h)]
+    canvas = Image.new("RGB", (max_w * 2, max_h * 2), 0)
+    K = num_keypoints
+    all_t: Dict[str, List] = {"boxes": [], "labels": [], "keypoints": [], "area": []}
+    for (ox, oy), img, t in zip(offsets, imgs, tgts):
         canvas.paste(img, (ox, oy))
-        if merged is None:
-            merged = {k: t[k] for k in ("image_id", "orig_size")}
         if len(t["boxes"]):
             all_t["boxes"].append(t["boxes"] + np.asarray([ox, oy, ox, oy], np.float32))
             all_t["labels"].append(t["labels"])
@@ -193,11 +274,10 @@ def mosaic(dataset, idx: int, rng: random.Random, out_size: int = 640,
             kp[:, :, 1] += oy * vis
             all_t["keypoints"].append(kp)
             all_t["area"].append(t["area"])
-    K = num_keypoints
     target = {
-        "image_id": merged["image_id"],
-        "orig_size": np.asarray([out_size, out_size], np.float32),
-        "size": np.asarray([out_size, out_size], np.float32),
+        "image_id": tgts[0]["image_id"],
+        "orig_size": np.asarray([max_h * 2, max_w * 2], np.float32),
+        "size": np.asarray([max_h * 2, max_w * 2], np.float32),
         "boxes": (np.concatenate(all_t["boxes"]) if all_t["boxes"]
                   else np.zeros((0, 4), np.float32)),
         "labels": (np.concatenate(all_t["labels"]) if all_t["labels"]
@@ -252,7 +332,9 @@ class TrainTransforms:
                        and dataset is not None and index is not None
                        and rng.random() <= self.mosaic_prob)
         if with_mosaic:
-            img, target = mosaic(dataset, index, rng, self.out_size, self.K)
+            img, target = mosaic(dataset, index, rng,
+                                 cell_size=self.out_size // 2,
+                                 num_keypoints=self.K)
         elif heavy_on:
             if rng.random() < 0.5:  # RandomZoomOut internal p (dataset.py:34)
                 img, target = random_zoom_out(img, target, rng)
