@@ -103,7 +103,12 @@ def build_cdn(
         if n == 0:
             continue
         lab = labels[b, :n]
-        ctr = boxes[b, :n, :2]                        # cxcy
+        # Reference bug reproduced bug-for-bug (dn_component.py:95-96): boxes
+        # are cxcywh-normalized at this point (transforms.py Normalize
+        # :287-290), yet the reference computes the noised "center" slot as
+        # (boxes[:, :2] + boxes[:, 2:]) / 2 — i.e. ((cx+w)/2, (cy+h)/2), not
+        # the true center. The zoo checkpoints were trained with this.
+        ctr = (boxes[b, :n, :2] + boxes[b, :n, 2:]) / 2.0
         pose = kpts[b, :n, : 2 * K].reshape(n, K, 2)
         vis = kpts[b, :n, 2 * K:]                      # (n, K)
         if areas is not None:
@@ -178,6 +183,11 @@ def build_cdn(
     return {
         "labels": out_labels,
         "pose_logits": out_pose,
+        # True where a slot holds a real noised GT; unused slots get ZERO
+        # content embeddings (reference pads with zeros, dn_component.py:141-148
+        # padding_label), not label_enc(0) — they leak into real DN queries
+        # through in-group across-instance attention.
+        "slot_used": slot_used,
         "attn_mask": attn,
         "pad_size": cfg.pad_cap,
         "num_dn_group": groups,

@@ -42,8 +42,14 @@ def match_cost(
     K = num_body_points
     gamma = 2.0
     p = jax.nn.sigmoid(pred_logits.astype(jnp.float32))  # (B, nq, C)
-    neg = (1 - focal_alpha) * p**gamma * (-jnp.log(1 - p + 1e-8))
-    pos = focal_alpha * (1 - p) ** gamma * (-jnp.log(p + 1e-8))
+    # The literal `1 - p + 1e-8` is UNSAFE under jit: XLA's algebraic
+    # simplifier reassociates it to `(1 + 1e-8) - p`, which constant-folds to
+    # `1.0 - p` in f32 and sends the log to -inf at saturated logits (x>17).
+    # The maximum() blocks the reassociation and matches torch's value
+    # (p <= 1 so the max is an exact no-op; reference matcher.py:60-63).
+    one_m_p = jnp.maximum(1.0 - p, 0.0)
+    neg = (1 - focal_alpha) * p**gamma * (-jnp.log(one_m_p + 1e-8))
+    pos = focal_alpha * one_m_p**gamma * (-jnp.log(jnp.maximum(p, 0.0) + 1e-8))
     # cost_class[b, q, g] = (pos - neg)[b, q, labels[b, g]]
     labels = jnp.clip(targets["labels"], 0, p.shape[-1] - 1)
     c_class = jnp.take_along_axis(

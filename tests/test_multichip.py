@@ -54,6 +54,7 @@ def test_sharded_train_step_n():
         "targets": put(targets, shard_b),
         "dn": {
             "labels": put(dn["labels"], shard_b),
+            "slot_used": put(dn["slot_used"], shard_b),
             "pose_logits": put(dn["pose_logits"], shard_b),
             "attn_mask": put(dn["attn_mask"], repl),
             "dn_match": {
