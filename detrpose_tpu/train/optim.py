@@ -50,10 +50,20 @@ def make_optimizer(
     warmup_steps: int = 0,
     grad_accum_steps: int = 1,
     freeze_backbone_norm: bool = True,
+    freeze_at: int = -1,
+    freeze_stem_only: bool = True,
+    freeze_backbone: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with a backbone lr multiplier, clipping, MultiStep schedule, and
     optional gradient accumulation (reference: engine.py:43-60 sequential
-    micro-batches -> optax.MultiSteps)."""
+    micro-batches -> optax.MultiSteps).
+
+    Freeze knobs mirror the reference backbone's requires_grad surgery
+    (hgnetv2.py:526-533, 566-569) as optimizer masks: ``freeze_at >= 0``
+    freezes the stem and, unless ``freeze_stem_only``, stages 0..freeze_at;
+    ``freeze_backbone`` freezes the whole backbone (freeze_network). All are
+    no-ops in the shipped reference configs (include/detrpose_hgnetv2.py:34-35).
+    """
     sched_main = multistep_schedule(base_lr, milestones, gamma, warmup_steps)
     sched_bb = multistep_schedule(backbone_lr, milestones, gamma, warmup_steps)
 
@@ -61,6 +71,15 @@ def make_optimizer(
         def label(path, _):
             keys = [getattr(p, "key", "") for p in path]
             if keys and keys[0] == "backbone":
+                if freeze_backbone:
+                    return "frozen"
+                if freeze_at >= 0:
+                    if keys[1] == "stem":
+                        return "frozen"
+                    if not freeze_stem_only:
+                        for i in range(freeze_at + 1):
+                            if keys[1] == f"stages_{i}":
+                                return "frozen"
                 # FrozenBatchNorm semantics (reference hgnetv2.py:24-60,
                 # freeze_norm=True in all shipped configs): BN affine params
                 # in the backbone receive no updates.

@@ -1,0 +1,67 @@
+"""Backbone freeze knobs as optimizer masks.
+
+Reference semantics (src/nn/backbone/hgnetv2.py:526-533, 566-569):
+``freeze_at >= 0`` freezes the stem and, unless ``freeze_stem_only``, stages
+0..freeze_at; ``freeze_network`` freezes the whole backbone. All are no-ops in
+the shipped configs (include/detrpose_hgnetv2.py:34-35) — here they are
+``set_to_zero`` optimizer groups (train/optim.py) instead of requires_grad
+surgery.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detrpose_tpu.train.optim import make_optimizer
+
+
+def _params():
+    leaf = lambda: jnp.ones((3,))
+    return {
+        "backbone": {
+            "stem": {"stem1": {"conv": {"kernel": leaf()},
+                               "bn": {"scale": leaf()}}},
+            "stages_0": {"blocks_0": {"conv": {"kernel": leaf()}}},
+            "stages_1": {"blocks_0": {"conv": {"kernel": leaf()}}},
+        },
+        "encoder": {"proj": {"kernel": leaf()}},
+    }
+
+
+def _moved(params, **kw):
+    tx = make_optimizer(params, milestones=(100,), **kw)
+    g = jax.tree.map(jnp.ones_like, params)
+    u, _ = tx.update(g, tx.init(params), params)
+    flat = {"/".join(str(getattr(p, "key", p)) for p in path): bool(
+        np.abs(np.asarray(leafv)).max() > 0)
+        for path, leafv in jax.tree_util.tree_flatten_with_path(u)[0]}
+    return flat
+
+
+def test_default_only_backbone_bn_frozen():
+    m = _moved(_params())
+    assert not m["backbone/stem/stem1/bn/scale"]  # FrozenBatchNorm
+    assert m["backbone/stem/stem1/conv/kernel"]
+    assert m["backbone/stages_0/blocks_0/conv/kernel"]
+    assert m["encoder/proj/kernel"]
+
+
+def test_freeze_at_stem_only():
+    m = _moved(_params(), freeze_at=0)
+    assert not m["backbone/stem/stem1/conv/kernel"]
+    assert m["backbone/stages_0/blocks_0/conv/kernel"]
+    assert m["backbone/stages_1/blocks_0/conv/kernel"]
+    assert m["encoder/proj/kernel"]
+
+
+def test_freeze_at_with_stages():
+    m = _moved(_params(), freeze_at=0, freeze_stem_only=False)
+    assert not m["backbone/stem/stem1/conv/kernel"]
+    assert not m["backbone/stages_0/blocks_0/conv/kernel"]
+    assert m["backbone/stages_1/blocks_0/conv/kernel"]
+    assert m["encoder/proj/kernel"]
+
+
+def test_freeze_whole_backbone():
+    m = _moved(_params(), freeze_backbone=True)
+    assert not any(v for k, v in m.items() if k.startswith("backbone/"))
+    assert m["encoder/proj/kernel"]
