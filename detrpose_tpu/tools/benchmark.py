@@ -91,6 +91,106 @@ def bench_size(size: str, batch: int, res: int = 640, bf16: bool = True,
     }
 
 
+def _preprocess_image(img, res: int = 640):
+    """The reference latency-protocol preprocessing
+    (tools/benchmark/dataset.py:46-83): Resize(size=639, max_size=640)
+    (torchvision semantics: shorter side -> 639 unless the longer side would
+    exceed 640, then longer side -> 640), pad right/bottom to 640x640 with
+    fill 114, scale to [0, 1] float."""
+    from PIL import Image
+
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    new_short = res - 1
+    new_long = int(new_short * long / short)
+    if new_long > res:
+        new_short, new_long = int(res * new_short / new_long), res
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    resized = img.resize((nw, nh), Image.BILINEAR)
+    canvas = np.full((res, res, 3), 114, np.uint8)
+    canvas[:nh, :nw] = np.asarray(resized, np.uint8)
+    return canvas.astype(np.float32) / 255.0, (w, h)
+
+
+def bench_data(size: str, img_dir: str | None, batch: int = 1, res: int = 640,
+               bf16: bool = True, warmup: int = 40, num_images: int = 200,
+               num_body_points: int = 17):
+    """Latency over REAL images with the reference's preprocessing
+    (tools/benchmark/torch_benchmark.py:29-100: warmup, run every image,
+    report the average of the fastest segment). When no --data dir is given,
+    synthesizes JPEGs of varied sizes so the protocol (decode -> resize-639 ->
+    pad-114 -> H2D -> model) is still exercised end to end."""
+    import glob
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from ..configs import model_config, build_model
+    from ..models import postprocess
+
+    if not img_dir or not glob.glob(os.path.join(img_dir, "*.jpg")):
+        tmp = tempfile.mkdtemp(prefix="bench_jpegs_")
+        rng = np.random.default_rng(0)
+        for i in range(num_images):
+            w, h = int(rng.integers(320, 641)), int(rng.integers(240, 481))
+            Image.fromarray(
+                rng.integers(0, 255, (h, w, 3), np.uint8), "RGB"
+            ).save(os.path.join(tmp, f"{i:06d}.jpg"), quality=90)
+        img_dir = tmp
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg")))[:num_images]
+
+    cfg = model_config(size, num_body_points=num_body_points,
+                       dtype=jnp.bfloat16 if bf16 else jnp.float32)
+    model = build_model(cfg)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)), train=False))()
+    jax.block_until_ready(variables)
+
+    @jax.jit
+    def fwd(v, x, ts):
+        return postprocess(model.apply(v, x, train=False), ts,
+                           num_body_points=num_body_points)
+
+    # preprocess all images host-side once (the reference dataset does decode +
+    # preprocess per item; here the timed loop includes H2D + model + decode
+    # of results, the reference's model.forward-only timing plus transfer)
+    pre = [_preprocess_image(Image.open(p).convert("RGB"), res) for p in paths]
+    batches = []
+    for i in range(0, len(pre) - batch + 1, batch):
+        chunk = pre[i:i + batch]
+        batches.append((
+            np.stack([c[0] for c in chunk]),
+            np.asarray([c[1] for c in chunk], np.float32),
+        ))
+
+    x0 = jnp.asarray(batches[0][0])
+    t0 = jnp.asarray(batches[0][1])
+    out = fwd(variables, x0, t0)
+    jax.block_until_ready(out)
+    for i in range(warmup):
+        out = fwd(variables, x0, t0)
+    jax.block_until_ready(out)
+
+    times = []
+    for x_np, ts_np in batches:
+        t_start = time.perf_counter()
+        out = fwd(variables, jnp.asarray(x_np), jnp.asarray(ts_np))
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t_start)
+    times = np.asarray(sorted(times))
+    fastest = times[: max(1, len(times) // 10)].mean()
+    return {
+        "size": size, "batch": batch, "res": res, "mode": "data",
+        "images": len(batches) * batch, "img_dir": img_dir,
+        "latency_ms": round(float(np.median(times)) * 1000, 3),
+        "fastest_ms": round(float(fastest) * 1000, 3),
+        "images_per_sec": round(batch / float(np.median(times)), 1),
+    }
+
+
 def bench_train_step(size: str, batch: int = 8, res: int = 640,
                      num_body_points: int = 17, iters: int = 10,
                      remat: bool = False):
@@ -159,11 +259,20 @@ def main():
     p.add_argument("--info-only", action="store_true")
     p.add_argument("--train", action="store_true",
                    help="benchmark the full training step instead of inference")
+    p.add_argument("--data", nargs="?", const="", default=None, metavar="DIR",
+                   help="real-image leg: reference preprocessing "
+                        "(resize-639/max-640 + pad-114) over DIR/*.jpg; with "
+                        "no DIR, synthetic JPEGs are generated")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args()
 
     for size in args.sizes:
+        if args.data is not None:
+            for b in args.batch:
+                print(json.dumps(bench_data(size, args.data or None, b,
+                                            args.res)))
+            continue
         if args.train:
             for b in args.batch:
                 print(json.dumps(bench_train_step(size, b, args.res,
