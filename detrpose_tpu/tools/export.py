@@ -32,7 +32,7 @@ def export_model(size: str, num_body_points: int = 17, ckpt: str | None = None,
     dtype = jnp.bfloat16 if bf16 else jnp.float32
     cfg = model_config(size, num_body_points=num_body_points, dtype=dtype)
 
-    if ckpt:
+    if ckpt and ckpt.endswith(".pth"):
         from ..utils.convert import convert_state_dict, load_torch_checkpoint
 
         base_model = build_model(cfg)
@@ -41,6 +41,15 @@ def export_model(size: str, num_body_points: int = 17, ckpt: str | None = None,
             lambda: base_model.init(jax.random.PRNGKey(0),
                                     jnp.zeros((1, res, res, 3)), train=True))
         variables = convert_state_dict(sd, dict(template))
+    elif ckpt:
+        # natively-trained orbax checkpoint (output/best) — params + EMA only
+        from ..utils.checkpoint import restore_variables
+
+        base_model = build_model(cfg)
+        template = jax.eval_shape(
+            lambda: base_model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, res, res, 3)), train=True))
+        variables = jax.device_get(restore_variables(ckpt, dict(template)))
     else:
         base_model = build_model(cfg)
         variables = jax.jit(lambda: base_model.init(

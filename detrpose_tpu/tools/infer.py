@@ -68,12 +68,16 @@ def build_pipeline(size: str, num_body_points: int, ckpt: str | None,
         variables = convert_state_dict(sd, dict(template))
         variables = jax.tree.map(jnp.asarray, variables)
     elif ckpt:
-        from ..utils.checkpoint import restore_checkpoint
-        from ..parallel import init_train_state
-        from ..train.optim import make_optimizer
+        # natively-trained orbax checkpoint (output/best, output/checkpoint):
+        # restore params + EMA without an optimizer (reference workflow:
+        # torch_inf.py -r checkpoint.pth, prefers EMA)
+        from ..utils.checkpoint import restore_variables
 
-        raise SystemExit("orbax checkpoint loading for inference: use --ckpt .pth "
-                         "or load via Trainer.resume")
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, res, res, 3)), train=True))
+        variables = restore_variables(ckpt, dict(template))
+        variables = jax.tree.map(jnp.asarray, variables)
     else:
         variables = jax.jit(lambda: model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)), train=False))()
@@ -96,7 +100,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="l", choices=["n", "s", "m", "l", "x"])
     p.add_argument("--num-body-points", type=int, default=17)
-    p.add_argument("--ckpt", help="reference .pth checkpoint (converted on load)")
+    p.add_argument("--ckpt", help="reference .pth checkpoint (converted on "
+                   "load) or a natively-trained orbax checkpoint dir "
+                   "(e.g. output/best; EMA weights preferred)")
     p.add_argument("--input", required=True)
     p.add_argument("--output", default="inference_out")
     p.add_argument("--thresh", type=float, default=0.5)

@@ -24,6 +24,30 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
     ckptr.wait_until_finished()
 
 
+def restore_variables(path: str, variables_template: Any,
+                      prefer_ema: bool = True) -> Any:
+    """Restore eval variables {'params','batch_stats'} from an orbax TrainState
+    checkpoint WITHOUT constructing an optimizer — the inference/export CLI
+    path (reference workflow: torch_inf.py -r checkpoint.pth, which prefers the
+    EMA weights, tools/inference/torch_inf.py:141-151).
+    """
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    rs = raw["state"]
+    ema = rs.get("ema")
+    params = ema["params"] if (prefer_ema and ema is not None) else rs["params"]
+
+    def cast(t, v):
+        return jax.numpy.asarray(v, t.dtype)
+
+    return {
+        "params": jax.tree.map(cast, variables_template["params"], params),
+        "batch_stats": jax.tree.map(
+            cast, variables_template["batch_stats"], rs["batch_stats"]),
+    }
+
+
 def restore_checkpoint(path: str, template: Any) -> Tuple[Any, int]:
     """Restore a TrainState; falls back to params/EMA-only on optimizer-state
     mismatch (reference: src/solver/trainer.py:358-361 re-initializes the
