@@ -11,6 +11,7 @@ evaluate :120-176). TPU-native mapping:
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -60,6 +61,9 @@ class Trainer:
         tensorboard: bool = True,
         eval_use_area: bool = True,
         crowd_index: Optional[Dict] = None,
+        freeze_at: int = -1,
+        freeze_stem_only: bool = True,
+        freeze_backbone: bool = False,
     ):
         self.model = model
         self.cfg = model_cfg
@@ -97,11 +101,15 @@ class Trainer:
             milestones=self._opt_milestones, gamma=gamma,
             warmup_steps=warmup_steps,
             grad_accum_steps=self.grad_accum_steps,
+            freeze_at=freeze_at, freeze_stem_only=freeze_stem_only,
+            freeze_backbone=freeze_backbone,
         )
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(0),
             jnp.zeros((1, 128, 128, 3)), use_ema=use_ema)
-        self.state = jax.device_put(self.state, self.repl)
+        self._single = int(np.prod(self.mesh.devices.shape)) == 1
+        if not self._single:
+            self.state = jax.device_put(self.state, self.repl)
 
         self._step = make_train_step(
             model, self.tx, num_body_points=model_cfg.num_body_points,
@@ -110,14 +118,48 @@ class Trainer:
             ema_decay=ema_decay, ema_warmups=ema_warmups, use_ema=use_ema,
             grad_accum_steps=self.grad_accum_steps,
         )
-        self._jit_step = jax.jit(self._step)  # NOTE: donation is pathological on the axon runtime (100x slower)
-        self._jit_eval = jax.jit(
-            lambda v, img, ts: postprocess(
-                model.apply(v, img, train=False), ts,
-                num_body_points=model_cfg.num_body_points),
-        )
+        # Staging/jit strategy is device-count dependent:
+        #  * single device: PLAIN jax.jit, host numpy args. The transfer
+        #    happens at call time on the host thread while the previous step
+        #    still executes asynchronously on device, so H2D overlaps compute
+        #    for free. Explicit shardings are avoided entirely — jitting with
+        #    in_shardings under a 1-device mesh drives this runtime into a
+        #    pathological mode (measured 12.9 s/step vs 16 ms for the same
+        #    program under plain jit, and it degrades every later executable
+        #    in the process).
+        #  * multi device: in_shardings jit fed host numpy (placement inside
+        #    the compiled call) — per-leaf device_put costs ~27 ms dispatch
+        #    each on this runtime (see __graft_entry__.dryrun_multichip).
+        # NOTE: donation is pathological on the axon runtime (100x slower).
+        self._jit_steps: Dict[bool, Any] = {}
+        # bf16 models: ship images as uint8 (pixels*255) and dequantize on
+        # device. Max abs error 1/510 equals the bf16 input-rounding step at
+        # 1.0 (2^-8), so it is lossless w.r.t. the model's own precision,
+        # while cutting the dominant H2D bytes 4x vs f32.
+        self._img_u8 = model_cfg.dtype == jnp.bfloat16
+        self._model_dtype = model_cfg.dtype
+
+        def eval_fn(v, img, ts):
+            if img.dtype == jnp.uint8:
+                img = img.astype(self._model_dtype) / 255.0
+            return postprocess(model.apply(v, img, train=False), ts,
+                               num_body_points=model_cfg.num_body_points)
+
+        self._jit_eval = (jax.jit(eval_fn) if self._single else jax.jit(
+            eval_fn, in_shardings=(self.repl, self.shard_b, self.shard_b)))
+        # Metric accumulation across steps runs as ONE jitted call per step:
+        # eager ops are not only slow to dispatch on this runtime (~1.7 ms
+        # each) but drain ~1000x slower than jitted executions once queued.
+        self._jit_stack = jax.jit(lambda m: jnp.stack(list(m.values())))
+        self._jit_accum = jax.jit(lambda a, m: a + jnp.stack(list(m.values())))
         self.start_epoch = 0
         self.best_ap = -1.0
+        # dual best tracking (reference src/misc/metrics.py:12-84): regular
+        # and EMA weights evaluated separately each epoch, two best
+        # checkpoints (best_regular / best_ema) plus the overall "best".
+        from ..utils.meters import BestMetricHolder
+
+        self.best_holder = BestMetricHolder(use_ema=use_ema)
         # TensorBoard scalars (reference: trainer.py:130-134, engine.py:99-107).
         self._tb = None
         if tensorboard:
@@ -138,32 +180,70 @@ class Trainer:
             for k, v in scalars.items():
                 tf.summary.scalar(prefix + k, float(v), step=step)
 
-    # ----------------------------------------------------------------- train
-    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        def put_tree(tree, sharding):
-            return jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+    def _mesh_ctx(self):
+        """Active-mesh context for jit dispatch. On a single device this is a
+        no-op: executing jit under an active Mesh compiles through the SPMD
+        partitioner, which this runtime slow-paths ~100x (see __init__)."""
+        return contextlib.nullcontext() if self._single else self.mesh
 
+    # ----------------------------------------------------------------- train
+    # dn leaves that are identical across the batch (not batch-sharded)
+    _REPL_LEAVES = ("attn_mask", "num_group", "active_mask")
+
+    def _stage_images(self, images) -> np.ndarray:
+        """Host-side image staging: bf16 models ship uint8 (4x fewer H2D
+        bytes, dequantized on device — see __init__), f32 models ship f32."""
+        img = np.asarray(images, np.float32)
+        if self._img_u8:
+            return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+        return img
+
+    def _host_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Select the step's input leaves as host numpy arrays; placement
+        happens inside the jitted call (plain jit on one device, in_shardings
+        on a real mesh — see __init__ for why)."""
         out = {
-            "images": put_tree(batch["images"], self.shard_b),
-            "targets": put_tree(batch["targets"], self.shard_b),
+            "images": self._stage_images(batch["images"]),
+            "targets": jax.tree.map(np.asarray, batch["targets"]),
         }
         if "dn" in batch:
             dn = batch["dn"]
             out["dn"] = {
-                "labels": jax.device_put(jnp.asarray(dn["labels"]), self.shard_b),
-                "pose_logits": jax.device_put(jnp.asarray(dn["pose_logits"]), self.shard_b),
-                "attn_mask": jax.device_put(jnp.asarray(dn["attn_mask"]), self.repl),
-                "dn_match": {
-                    "query_idx": jax.device_put(jnp.asarray(dn["dn_match"]["query_idx"]), self.shard_b),
-                    "gt_idx": jax.device_put(jnp.asarray(dn["dn_match"]["gt_idx"]), self.shard_b),
-                    "valid": jax.device_put(jnp.asarray(dn["dn_match"]["valid"]), self.shard_b),
-                    "num_group": jax.device_put(jnp.asarray(dn["dn_match"]["num_group"]), self.repl),
-                    "active_mask": jax.device_put(
-                        jnp.asarray(dn["dn_match"]["active_mask"]), self.repl),
-                },
+                "labels": np.asarray(dn["labels"]),
+                "slot_used": np.asarray(dn["slot_used"]),
+                "pose_logits": np.asarray(dn["pose_logits"]),
+                "attn_mask": np.asarray(dn["attn_mask"]),
+                "dn_match": jax.tree.map(np.asarray, dict(dn["dn_match"])),
             }
         return out
+
+    def _wrapped_step(self, state, batch):
+        if batch["images"].dtype == jnp.uint8:
+            batch = dict(batch)
+            batch["images"] = batch["images"].astype(self._model_dtype) / 255.0
+        return self._step(state, batch)
+
+    def _jit_step(self, batch: Dict[str, Any]):
+        """jit of the train step. Single device: one plain jax.jit (its own
+        cache handles the with/without-dn structures). Real mesh: in_shardings
+        matching this batch's structure, cached per structure."""
+        key = "dn" in batch
+        if key not in self._jit_steps:
+            if self._single:
+                jitted = (self._jit_steps[not key]
+                          if (not key) in self._jit_steps
+                          else jax.jit(self._wrapped_step))
+            else:
+                def choose(path, _):
+                    leaf = (path[-1].key if hasattr(path[-1], "key")
+                            else str(path[-1]))
+                    return self.repl if leaf in self._REPL_LEAVES else self.shard_b
+
+                spec = jax.tree_util.tree_map_with_path(choose, batch)
+                jitted = jax.jit(self._wrapped_step,
+                                 in_shardings=(self.repl, spec))
+            self._jit_steps[key] = jitted
+        return self._jit_steps[key]
 
     def train_one_epoch(self, epoch: int, print_freq: int = 50,
                         nan_check_freq: int = 10) -> Dict[str, float]:
@@ -171,30 +251,66 @@ class Trainer:
 
         self.train_loader.set_epoch(epoch)
         n = 0
-        agg: Dict[str, float] = {}
+        keys: list = []
+        acc = None
         logger = MetricLogger()
         total_steps = len(self.train_loader)
-        with self.mesh:
+        t_loop0 = t_steady = time.perf_counter()
+        with self._mesh_ctx():
             for batch in logger.log_every(
                     self.train_loader, print_freq,
                     header=f"Epoch: [{epoch}]", total=total_steps,
                     log_fn=self.log):
-                db = self._device_batch(batch)
-                self.state, metrics = self._jit_step(self.state, db)
+                db = self._host_batch(batch)
+                self.state, metrics = self._jit_step(db)(self.state, db)
                 n += 1
                 # accumulate on device (async) so the host loader overlaps with
-                # TPU compute; sync only at the NaN-check cadence. The step
-                # itself already *skips* non-finite updates on device
-                # (train_step.py), so nothing is poisoned before we notice.
-                for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + v
-                if n % nan_check_freq == 0 or n == 1 or n == total_steps:
+                # TPU compute; ONE stacked vector per step — per-term eager adds
+                # cost ~1.7 ms dispatch each on this runtime, and their 46
+                # first-use eager compiles cost minutes. Sync only at the
+                # NaN-check cadence; the step itself already *skips* non-finite
+                # updates on device (train_step.py).
+                acc = self._jit_accum(acc, metrics) if acc is not None else (
+                    self._jit_stack(metrics))
+                if not keys:
+                    keys = list(metrics)
+                # The first check happens at the cadence, not at step 1: on
+                # the axon runtime the FIRST device->host value read of the
+                # process permanently degrades execution ~100x (measured
+                # 15 ms/step -> 1.72 s/step for the same executable, any read
+                # path), so the loop defers reads as long as correctness
+                # allows. The step itself already *skips* non-finite updates
+                # on device (train_step.py), so nothing is poisoned before the
+                # host notices. Real TPU hosts read in microseconds; there a
+                # per-step check would also be fine.
+                if nan_check_freq and (n % nan_check_freq == 0
+                                       or n == total_steps):
+                    jax.block_until_ready(metrics)  # block-drain, THEN read
                     total = float(metrics["loss_total"])
                     if not math.isfinite(total):
                         raise RuntimeError(
                             f"Loss is {total}, stopping training (engine.py:68-71)")
                     logger.update(loss=total)
-        return {k: float(v) / max(n, 1) for k, v in agg.items()}
+                if n <= 2:
+                    # steady-state timing starts once every first-use compile
+                    # (step executable at n=1, eager stack/add at n<=2) is done
+                    jax.block_until_ready(acc)
+                    t_steady = time.perf_counter()
+        # Drain the queue with block_until_ready BEFORE the value read: on
+        # axon a fetch that drains queued work runs ~20x slower than the work
+        # itself (measured 7.5 s/step vs ~0.4 s/step), while a block-drain
+        # runs at execution speed; the read then copies a ready buffer.
+        if acc is not None:
+            jax.block_until_ready(acc)
+        out = dict(zip(keys, (np.asarray(acc, np.float64) / max(n, 1)).tolist())
+                   ) if keys else {}
+        # measured Trainer-LOOP step time (host batch prep + H2D transfer +
+        # step), steady state excluding the first/compile step — comparable to
+        # tools/benchmark.bench_train_step's pre-staged number
+        if n > 2:
+            out["step_ms"] = (time.perf_counter() - t_steady) / (n - 2) * 1000.0
+        out["epoch_s"] = time.perf_counter() - t_loop0
+        return out
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, use_ema: Optional[bool] = None) -> Dict[str, float]:
@@ -208,7 +324,7 @@ class Trainer:
                                use_area=self.eval_use_area,
                                crowd_index=self.crowd_index)
         n_dev = len(self.mesh.devices.reshape(-1))
-        with self.mesh:
+        with self._mesh_ctx():
             for batch in self.val_loader:
                 imgs = batch["images"]
                 sizes = batch["orig_sizes"]
@@ -218,9 +334,10 @@ class Trainer:
                     padn = n_dev - (n_real % n_dev)
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padn, 0)])
                     sizes = np.concatenate([sizes, np.repeat(sizes[-1:], padn, 0)])
-                img = jax.device_put(jnp.asarray(imgs), self.shard_b)
-                ts = jax.device_put(jnp.asarray(sizes), self.shard_b)
-                scores, labels, kpts = self._jit_eval(variables, img, ts)
+                scores, labels, kpts = self._jit_eval(
+                    variables, self._stage_images(imgs),
+                    np.asarray(sizes))
+                jax.block_until_ready(scores)  # block-drain, THEN read
                 scores, kpts = np.asarray(scores), np.asarray(kpts)
                 for b, img_id in enumerate(batch["image_ids"][:n_real]):
                     ev.update(int(img_id), scores[b], kpts[b])
@@ -257,7 +374,7 @@ class Trainer:
         variables = {"params": params, "batch_stats": self.state.batch_stats}
         results = []
         n_dev = len(self.mesh.devices.reshape(-1))
-        with self.mesh:
+        with self._mesh_ctx():
             for batch in self.val_loader:
                 imgs = batch["images"]
                 sizes = batch["orig_sizes"]
@@ -267,9 +384,9 @@ class Trainer:
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padn, 0)])
                     sizes = np.concatenate([sizes, np.repeat(sizes[-1:], padn, 0)])
                 scores, labels, kpts = self._jit_eval(
-                    variables,
-                    jax.device_put(jnp.asarray(imgs), self.shard_b),
-                    jax.device_put(jnp.asarray(sizes), self.shard_b))
+                    variables, self._stage_images(imgs),
+                    np.asarray(sizes))
+                jax.block_until_ready(scores)  # block-drain, THEN read
                 scores = np.asarray(scores, np.float32)
                 kpts = np.asarray(kpts, np.float32)
                 for b, img_id in enumerate(batch["image_ids"][:n_real]):
@@ -287,7 +404,8 @@ class Trainer:
         # save_on_master, dist_utils.py:38)
         from ..parallel.dist import gather_lists, is_main_process
 
-        results = gather_lists(results)
+        # dedup wrap-padded shard overlap by image id (first rank wins)
+        results = gather_lists(results, dedup_key=lambda r: r["image_id"])
         out_path = out_path or os.path.join(self.output_dir, "results.json")
         if is_main_process():
             with open(out_path, "w") as f:
@@ -312,25 +430,49 @@ class Trainer:
                 base_lr, self._opt_milestones, gamma, warmup_steps)(opt_step))
             train_stats["lr_backbone"] = float(multistep_schedule(
                 backbone_lr, self._opt_milestones, gamma, warmup_steps)(opt_step))
+            # evaluate EMA weights (the reference's per-epoch eval module,
+            # trainer.py:240-250) AND, when EMA is on, the regular weights too
+            # so both best streams are tracked (metrics.py:47-84).
             stats = self.evaluate()
             ap = stats.get("AP", -1.0)
+            stats_reg: Dict[str, float] = {}
+            if self.use_ema and self.state.ema is not None and self.val_loader is not None:
+                stats_reg = self.evaluate(use_ema=False)
+            ap_reg = stats_reg.get("AP", -1.0)
+
+            new_best_ema = self.best_holder.update(ap, epoch, is_ema=True)
+            new_best_reg = (self.best_holder.update(ap_reg, epoch, is_ema=False)
+                            if stats_reg else False)
             # multi-host: checkpoints/TB/log.txt written by rank 0 only
             # (reference save_on_master, dist_utils.py:38; params are
             # replicated so every rank holds the same state)
             if is_main_process():
                 self._tb_scalars(epoch, train_stats, "train/")
                 self._tb_scalars(epoch, stats, "eval/")
+                if stats_reg:
+                    self._tb_scalars(epoch, stats_reg, "eval_regular/")
                 if epoch % self.save_interval == 0 or ap > self.best_ap:
                     save_checkpoint(os.path.join(self.output_dir, "checkpoint"),
                                     self.state, epoch)
                 if ap > self.best_ap:
                     save_checkpoint(os.path.join(self.output_dir, "best"),
                                     self.state, epoch)
+                # dual best checkpoints (reference checkpoint_best_regular.pth,
+                # trainer.py:268-280, extended with the EMA stream)
+                if new_best_ema and self.use_ema:
+                    save_checkpoint(os.path.join(self.output_dir, "best_ema"),
+                                    self.state, epoch)
+                if new_best_reg:
+                    save_checkpoint(
+                        os.path.join(self.output_dir, "best_regular"),
+                        self.state, epoch)
                 with open(log_path, "a") as f:
                     f.write(json.dumps({
                         "epoch": epoch,
                         **{f"train_{k}": v for k, v in train_stats.items()},
                         **stats,
+                        **{f"regular_{k}": v for k, v in stats_reg.items()},
+                        **self.best_holder.summary(),
                     }) + "\n")
             if ap > self.best_ap:
                 self.best_ap = ap

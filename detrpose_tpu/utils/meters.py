@@ -109,3 +109,39 @@ class MetricLogger:
         elapsed = time.time() - start
         log_fn(f"{header} Total time: {datetime.timedelta(seconds=int(elapsed))} "
                f"({elapsed / max(total, 1):.4f} s / it)")
+
+
+class BestMetricHolder:
+    """Best-AP tracking for regular AND EMA weights separately, plus the
+    overall best (reference: src/misc/metrics.py:12-84; the reference trainer
+    evaluates only the EMA module and feeds one stream, trainer.py:240-266 —
+    here Trainer.fit evaluates both weight sets per epoch when EMA is on)."""
+
+    def __init__(self, use_ema: bool = False):
+        self.use_ema = use_ema
+        self.best_all = {"best_res": 0.0, "best_ep": -1}
+        if use_ema:
+            self.best_ema = {"best_res": 0.0, "best_ep": -1}
+            self.best_regular = {"best_res": 0.0, "best_ep": -1}
+
+    @staticmethod
+    def _upd(slot, res, ep):
+        if res > slot["best_res"]:
+            slot["best_res"], slot["best_ep"] = res, ep
+            return True
+        return False
+
+    def update(self, new_res: float, epoch: int, is_ema: bool = False) -> bool:
+        """Returns True iff new_res is the new overall best."""
+        if self.use_ema:
+            self._upd(self.best_ema if is_ema else self.best_regular,
+                      new_res, epoch)
+        return self._upd(self.best_all, new_res, epoch)
+
+    def summary(self) -> dict:
+        if not self.use_ema:
+            return dict(self.best_all)
+        out = {f"all_{k}": v for k, v in self.best_all.items()}
+        out.update({f"regular_{k}": v for k, v in self.best_regular.items()})
+        out.update({f"ema_{k}": v for k, v in self.best_ema.items()})
+        return out

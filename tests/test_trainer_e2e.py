@@ -63,6 +63,31 @@ def test_trainer_fit_and_eval(tmp_path):
     trainer.resume(os.path.join(out_dir, "checkpoint"))
     assert trainer.start_epoch == 1
 
+    # natively-trained orbax checkpoint -> inference CLI pipeline (reference
+    # workflow: train.py -r checkpoint.pth + torch_inf.py, prefers EMA —
+    # tools/inference/torch_inf.py:141-151)
+    import jax.numpy as jnp
+    from detrpose_tpu.tools.infer import build_pipeline
+
+    run, variables = build_pipeline("n", K, os.path.join(out_dir, "best"),
+                                    res=160)
+    img = np.zeros((120, 160, 3), np.uint8)
+    scores, labels, kpts = run(variables, jnp.asarray(img),
+                               jnp.asarray([160, 120], jnp.float32))
+    assert np.isfinite(np.asarray(scores, np.float32)).all()
+    assert np.asarray(kpts).shape == (1, 60, K, 3)
+
+    # same checkpoint through the deployment exporter + reload
+    from detrpose_tpu.tools.export import export_model, load_exported
+
+    exp = export_model("n", K, ckpt=os.path.join(out_dir, "best"), batch=1,
+                       res=160, out_dir=str(tmp_path / "exp"))
+    run2 = load_exported(exp)
+    s2, _, k2 = run2(np.zeros((1, 160, 160, 3), np.float32),
+                     np.full((1, 2), 160.0, np.float32))
+    assert np.isfinite(np.asarray(s2, np.float32)).all()
+    assert np.asarray(k2).shape == (1, 60, K, 3)
+
 
 @pytest.mark.slow
 def test_trainer_load_torch_weights(tmp_path):
@@ -134,3 +159,26 @@ def test_trainer_test_writes_results_json(tmp_path):
     r = results[0]
     assert set(r) == {"image_id", "category_id", "keypoints", "score"}
     assert len(r["keypoints"]) == 3 * K
+
+
+def test_best_metric_holder_dual_tracking():
+    """Regular and EMA best streams tracked separately (reference
+    src/misc/metrics.py:12-84); checkpoints would diverge when EMA lags."""
+    from detrpose_tpu.utils.meters import BestMetricHolder
+
+    h = BestMetricHolder(use_ema=True)
+    # epoch 0: regular 0.3, ema lags at 0.1
+    assert h.update(0.3, 0, is_ema=False) is True   # overall best
+    assert h.update(0.1, 0, is_ema=True) is False
+    # epoch 1: regular dips, ema catches up past regular
+    assert h.update(0.25, 1, is_ema=False) is False
+    assert h.update(0.35, 1, is_ema=True) is True
+    s = h.summary()
+    assert s["regular_best_res"] == 0.3 and s["regular_best_ep"] == 0
+    assert s["ema_best_res"] == 0.35 and s["ema_best_ep"] == 1
+    assert s["all_best_res"] == 0.35 and s["all_best_ep"] == 1
+    # non-EMA mode: single stream
+    h2 = BestMetricHolder(use_ema=False)
+    assert h2.update(0.5, 3) is True
+    assert h2.update(0.4, 4) is False
+    assert h2.summary() == {"best_res": 0.5, "best_ep": 3}

@@ -1,0 +1,70 @@
+"""Measure the REAL Trainer-loop step time (host batch -> in_shardings ->
+compiled step) on the TPU, for comparison with bench_train_step's pre-staged
+number (VERDICT round-2 weak #5). Not part of the package; a one-off probe."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+
+import jax
+import jax.numpy as jnp
+
+from detrpose_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from synth_data import make_tiny_coco
+from detrpose_tpu.configs import model_config, build_model
+from detrpose_tpu.data.coco import CocoKeypointDataset
+from detrpose_tpu.data.transforms import TrainTransforms
+from detrpose_tpu.data.loader import KeypointLoader
+from detrpose_tpu.train.trainer import Trainer
+
+img_dir, ann = make_tiny_coco("/tmp/synth640", n_images=16, w=640, h=640)
+K = 17
+mcfg = model_config("l", dtype=jnp.bfloat16)
+model = build_model(mcfg)
+tds = CocoKeypointDataset(
+    img_dir, ann, K, train=True,
+    transforms=TrainTransforms(out_size=640, num_keypoints=K,
+                               policy_epochs=(99, 100, 101)))
+loader = KeypointLoader(tds, 8, K, train=True, base_size=640,
+                        num_queries=mcfg.num_queries)
+batches = list(loader)
+print(f"{len(batches)} unique batches; dn={'dn' in batches[0]}")
+class FixedBatches(list):
+    def set_epoch(self, epoch):
+        pass
+
+
+batches = FixedBatches(batches * 11)  # 22 steps; steady timing skips the first
+
+trainer = Trainer(model, mcfg, train_loader=batches,
+                  output_dir="/tmp/trainloop_out", tensorboard=False)
+t0 = time.perf_counter()
+# nan_check_freq=0: no device->host reads inside the loop -> the process
+# stays in the axon fast mode; step_ms is then host-prep + H2D + execution.
+stats = trainer.train_one_epoch(0, print_freq=50, nan_check_freq=0)
+print({k: round(v, 2) for k, v in stats.items()
+       if k in ("step_ms", "epoch_s", "loss_total")})
+print(f"wall={time.perf_counter() - t0:.1f}s (includes compile)")
+
+# ---- honest sustained rate: value-FETCH (D2H) based, immune to a lying
+# block_until_ready. The train state chains step->step, so fetching a scalar
+# produced by the last step forces every prior step to have executed.
+with trainer.mesh:
+    db = trainer._host_batch(batches[0])
+    step = trainer._jit_step(db)
+    trainer.state, m = step(trainer.state, db)
+    _ = float(np.asarray(m["loss_total"]))  # warm + sync
+    for n_steps in (10, 20):
+        t1 = time.perf_counter()
+        for i in range(n_steps):
+            db = trainer._host_batch(batches[i % len(batches)])
+            trainer.state, m = step(trainer.state, db)
+        loss = float(np.asarray(m["loss_total"]))  # D2H fetch = real barrier
+        dt = time.perf_counter() - t1
+        print(f"fetch-verified sustained: {dt / n_steps * 1000:.1f} ms/step "
+              f"over {n_steps} steps (loss={loss:.2f})")

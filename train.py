@@ -129,6 +129,11 @@ def main():
         use_ema=tp.get("use_ema", True),
         ema_decay=tp.get("ema_decay", 0.9999),
         ema_warmups=tp.get("ema_warmups", 2000),
+        # backbone freeze knobs (reference hgnetv2.py:526-533,566-569; no-ops
+        # in shipped configs — include/detrpose_hgnetv2.py:34-35)
+        freeze_at=tp.get("freeze_at", -1),
+        freeze_stem_only=tp.get("freeze_stem_only", True),
+        freeze_backbone=tp.get("freeze_backbone", False),
     )
     # snapshot the resolved config into the run directory (reference logs the
     # config text to TB and pickles args, trainer.py:130-134)
