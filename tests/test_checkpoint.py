@@ -11,6 +11,7 @@ from detrpose_tpu.train.optim import make_optimizer
 from detrpose_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint
 
 
+@pytest.mark.slow  # full-model compile
 def test_checkpoint_roundtrip(tmp_path):
     cfg = model_config("n")
     model = build_model(cfg)

@@ -1,6 +1,8 @@
 """Deploy re-parameterisation: fused model must match the train-form model."""
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +10,7 @@ from detrpose_tpu.configs import model_config, build_model
 from detrpose_tpu.utils.deploy import fuse_for_deploy
 
 
+@pytest.mark.slow  # full-model compile
 def test_fused_model_matches_trainform():
     cfg = model_config("n")
     model = build_model(cfg)

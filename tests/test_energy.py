@@ -27,6 +27,7 @@ def test_energy_refinement_forward(grad_energy):
                            np.asarray(out0["pred_keypoints"]))
 
 
+@pytest.mark.slow  # full-model compile
 def test_energy_refinement_train_grads():
     cfg = model_config("n", use_energy_refinement=True, energy_steps=1,
                        grad_energy=True, energy_decrease_weight=0.01)

@@ -18,6 +18,7 @@ from ref_loader import build_reference_model
 
 
 @pytest.mark.parametrize("size,hw", [("n", (160, 160)), ("s", (128, 128))])
+@pytest.mark.slow  # full-model compile
 def test_full_model_parity(size, hw):
     torch.manual_seed(0)
     ref_model, cfg = build_reference_model(size, eval_hw=hw)

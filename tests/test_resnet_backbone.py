@@ -11,6 +11,7 @@ from detrpose_tpu.configs import build_model, model_config
 from detrpose_tpu.models.resnet import ResNet
 
 
+@pytest.mark.slow  # full-model compile
 def test_resnet_feature_pyramid_shapes():
     model = ResNet(depth=50)
     x = jnp.zeros((1, 64, 64, 3))

@@ -146,6 +146,7 @@ def test_criterion_smoke_finite():
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow  # full-model compile
 def test_criterion_grads_flow():
     rng = np.random.default_rng(4)
     B, nq, G, K, C = 2, 8, 3, 17, 2
