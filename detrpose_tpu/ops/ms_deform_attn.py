@@ -143,7 +143,7 @@ def ms_deform_attn(
             sampled = (tap(x0, y0, w00) + tap(x0, y1, w01) +
                        tap(x1, y0, w10) + tap(x1, y1, w11))
         else:
-            # Patch path (default): prebuild P[y, x] = the 2x2 corner patch
+            # Patch path (opt-in): prebuild P[y, x] = the 2x2 corner patch
             # [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] concatenated on the channel
             # axis, so ALL FOUR bilinear corners arrive in ONE row gather whose
             # rows are 4*d_head = 128 wide (a full lane tile). Building P is

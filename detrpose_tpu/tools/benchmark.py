@@ -158,6 +158,10 @@ def bench_data(size: str, img_dir: str | None, batch: int = 1, res: int = 640,
     # preprocess per item; here the timed loop includes H2D + model + decode
     # of results, the reference's model.forward-only timing plus transfer)
     pre = [_preprocess_image(Image.open(p).convert("RGB"), res) for p in paths]
+    if len(pre) < batch:
+        # fewer images than one batch: cycle them (the timing protocol needs
+        # full batches; reference runs 1000 images at batch 1)
+        pre = (pre * ((batch + len(pre) - 1) // len(pre)))[:batch]
     batches = []
     for i in range(0, len(pre) - batch + 1, batch):
         chunk = pre[i:i + batch]

@@ -64,6 +64,7 @@ class Trainer:
         freeze_at: int = -1,
         freeze_stem_only: bool = True,
         freeze_backbone: bool = False,
+        stage_uint8: Optional[bool] = None,
     ):
         self.model = model
         self.cfg = model_cfg
@@ -133,10 +134,14 @@ class Trainer:
         # NOTE: donation is pathological on the axon runtime (100x slower).
         self._jit_steps: Dict[bool, Any] = {}
         # bf16 models: ship images as uint8 (pixels*255) and dequantize on
-        # device. Max abs error 1/510 equals the bf16 input-rounding step at
-        # 1.0 (2^-8), so it is lossless w.r.t. the model's own precision,
-        # while cutting the dominant H2D bytes 4x vs f32.
-        self._img_u8 = model_cfg.dtype == jnp.bfloat16
+        # device, cutting the dominant H2D bytes 4x vs f32. This quantizes
+        # augmented/resized float pixels to 1/255 steps — at 1.0 that matches
+        # the bf16 input ulp (2^-8), but for dark pixels (<0.25) the bf16 ulp
+        # is finer, so up to ~2 bits of input precision are traded for
+        # transfer bandwidth. Opt out with stage_uint8=False (f32 staging)
+        # when exact float inputs matter more than H2D cost.
+        self._img_u8 = (model_cfg.dtype == jnp.bfloat16
+                        if stage_uint8 is None else bool(stage_uint8))
         self._model_dtype = model_cfg.dtype
 
         def eval_fn(v, img, ts):
@@ -440,8 +445,9 @@ class Trainer:
                 stats_reg = self.evaluate(use_ema=False)
             ap_reg = stats_reg.get("AP", -1.0)
 
-            new_best_ema = self.best_holder.update(ap, epoch, is_ema=True)
-            new_best_reg = (self.best_holder.update(ap_reg, epoch, is_ema=False)
+            new_best_ema = self.best_holder.update_stream(ap, epoch, is_ema=True)
+            new_best_reg = (self.best_holder.update_stream(ap_reg, epoch,
+                                                           is_ema=False)
                             if stats_reg else False)
             # multi-host: checkpoints/TB/log.txt written by rank 0 only
             # (reference save_on_master, dist_utils.py:38; params are
@@ -503,5 +509,9 @@ class Trainer:
                    if self.state.ema is not None else None)
         self.state = self.state.replace(params=params, batch_stats=stats,
                                         ema=new_ema)
-        self.state = jax.device_put(self.state, self.repl)
+        # single device: leave placement to plain jit (explicit NamedSharding
+        # placement on a 1-device mesh drives this runtime into the ~100x
+        # SPMD slow path — see __init__'s staging notes)
+        if not self._single:
+            self.state = jax.device_put(self.state, self.repl)
         self.log(f"loaded torch weights from {pth_path}")

@@ -138,6 +138,21 @@ class BestMetricHolder:
                       new_res, epoch)
         return self._upd(self.best_all, new_res, epoch)
 
+    def update_stream(self, new_res: float, epoch: int,
+                      is_ema: bool = False) -> bool:
+        """Like update(), but returns True iff new_res improves ITS OWN
+        stream's best (the reference gates checkpoint_best_regular on the
+        overall best, trainer.py:266-268, but it only ever evaluates one
+        stream; with two real streams the per-stream signal is what must
+        gate the per-stream best checkpoints — otherwise summary() can
+        record a stream-best epoch whose checkpoint was never written)."""
+        if not self.use_ema:
+            return self.update(new_res, epoch, is_ema)
+        stream_new = self._upd(self.best_ema if is_ema else self.best_regular,
+                               new_res, epoch)
+        self._upd(self.best_all, new_res, epoch)
+        return stream_new
+
     def summary(self) -> dict:
         if not self.use_ema:
             return dict(self.best_all)

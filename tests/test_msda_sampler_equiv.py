@@ -1,7 +1,7 @@
 """The two MSDA level-sampler implementations are interchangeable.
 
 `ops/ms_deform_attn.py` carries two gather strategies for the large pyramid
-levels (selected by MSDA_LEVEL_SAMPLER, default "patch"):
+levels (selected by MSDA_LEVEL_SAMPLER, default "corner"):
 
   * "corner" — four independent row gathers, one per bilinear corner
     (d_head=32-wide rows; sub-lane on TPU).

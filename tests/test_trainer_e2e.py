@@ -182,3 +182,28 @@ def test_best_metric_holder_dual_tracking():
     assert h2.update(0.5, 3) is True
     assert h2.update(0.4, 4) is False
     assert h2.summary() == {"best_res": 0.5, "best_ep": 3}
+
+
+def test_best_metric_holder_update_stream():
+    """update_stream gates on the PER-STREAM best, so a regular-weights
+    improvement that is still below the overall (EMA) best must still
+    trigger (it gates the best_regular checkpoint write in Trainer.fit)."""
+    from detrpose_tpu.utils.meters import BestMetricHolder
+
+    h = BestMetricHolder(use_ema=True)
+    assert h.update_stream(0.50, 3, is_ema=True) is True
+    # regular improves to 0.49 < overall best 0.50: overall-best gating
+    # (plain update semantics) would skip the checkpoint; the stream signal
+    # fires. A twin holder shows the contrast on the same sequence.
+    h_overall = BestMetricHolder(use_ema=True)
+    h_overall.update(0.50, 3, is_ema=True)
+    assert h_overall.update(0.49, 7, is_ema=False) is False
+    assert h.update_stream(0.49, 7, is_ema=False) is True
+    assert h.update_stream(0.48, 8, is_ema=False) is False
+    s = h.summary()
+    assert s["regular_best_res"] == 0.49 and s["regular_best_ep"] == 7
+    assert s["all_best_res"] == 0.50
+    # non-EMA mode falls back to the single stream
+    h2 = BestMetricHolder(use_ema=False)
+    assert h2.update_stream(0.5, 0) is True
+    assert h2.update_stream(0.4, 1) is False

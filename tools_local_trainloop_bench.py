@@ -54,7 +54,8 @@ print(f"wall={time.perf_counter() - t0:.1f}s (includes compile)")
 # ---- honest sustained rate: value-FETCH (D2H) based, immune to a lying
 # block_until_ready. The train state chains step->step, so fetching a scalar
 # produced by the last step forces every prior step to have executed.
-with trainer.mesh:
+with trainer._mesh_ctx():  # nullcontext on 1 device: an active Mesh would
+    # recompile the step through the SPMD partitioner (~100x slow path)
     db = trainer._host_batch(batches[0])
     step = trainer._jit_step(db)
     trainer.state, m = step(trainer.state, db)
