@@ -152,13 +152,15 @@ def ms_deform_attn(
             # padding reproduces grid_sample's zeros-padding; corner validity
             # is still folded into the weights (handles samples further than
             # one pixel outside, where the clipped patch would alias).
-            vp = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+            # Transpose v FIRST (1x the bytes), then pad + slice + concat in
+            # the final layout — transposing the built 4x-size table would
+            # move 4x the bytes for the same result.
+            vt = v.transpose(0, 3, 1, 2, 4)  # (B, nH, H, W, dh)
+            vp = jnp.pad(vt, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
             P = jnp.concatenate(
-                [vp[:, :-1, :-1], vp[:, :-1, 1:],
-                 vp[:, 1:, :-1], vp[:, 1:, 1:]], axis=-1)
-            # (B, H+1, W+1, nH, 4*dh) -> (B, nH, (H+1)*(W+1), 4*dh)
-            Pflat = P.transpose(0, 3, 1, 2, 4).reshape(
-                B, nH, (H + 1) * (W + 1), 4 * d_head)
+                [vp[:, :, :-1, :-1], vp[:, :, :-1, 1:],
+                 vp[:, :, 1:, :-1], vp[:, :, 1:, 1:]], axis=-1)
+            Pflat = P.reshape(B, nH, (H + 1) * (W + 1), 4 * d_head)
             px = (jnp.clip(x0, -1, W - 1) + 1).astype(jnp.int32)
             py = (jnp.clip(y0, -1, H - 1) + 1).astype(jnp.int32)
             idx = (py * (W + 1) + px).transpose(0, 2, 1, 3).reshape(
