@@ -23,6 +23,27 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # The axon TPU tunnel occasionally has outages (observed: >30 min dead
+    # where even jax.devices() hangs). Probe device contact in a subprocess
+    # (a hung backend call cannot be timed out in-process) and retry a few
+    # times so a transient flake doesn't turn into a failed benchmark run.
+    import subprocess
+    for attempt in range(6):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()"],
+                timeout=90, capture_output=True)
+            if probe.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# device probe attempt {attempt + 1} failed; retrying",
+              file=sys.stderr)
+        time.sleep(30)
+    # after 6 failures fall through anyway: the driver's own timeout governs
+
     from detrpose_tpu.configs import model_config, build_model
     from detrpose_tpu.models import postprocess
 
