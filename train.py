@@ -134,6 +134,8 @@ def main():
         freeze_at=tp.get("freeze_at", -1),
         freeze_stem_only=tp.get("freeze_stem_only", True),
         freeze_backbone=tp.get("freeze_backbone", False),
+        # None = uint8 H2D staging for bf16 models (see Trainer docstring)
+        stage_uint8=tp.get("stage_uint8", None),
     )
     # snapshot the resolved config into the run directory (reference logs the
     # config text to TB and pickles args, trainer.py:130-134)
