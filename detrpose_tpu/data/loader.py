@@ -26,8 +26,38 @@ def generate_scales(base_size: int, base_size_repeat: int) -> List[int]:
     return scales
 
 
+# ---- worker-pool item loading ------------------------------------------
+# The reference trains with DataLoader(num_workers=4)
+# (configs/detrpose/include/dataset.py:48): JPEG decode + the augmentation
+# policy (mosaic decodes 4 extra images) cannot keep a TPU fed from one
+# Python thread. Workers are forked per epoch AFTER set_epoch so they
+# inherit the epoch-dependent policy state; each item re-seeds the
+# transform RNG from (seed, epoch, index) so results are deterministic and
+# independent of worker scheduling (torch similarly re-seeds per worker).
+_WORKER_DS = None
+_WORKER_CFG = None
+
+
+def _worker_init(ds, num_keypoints, seed, epoch):
+    global _WORKER_DS, _WORKER_CFG
+    _WORKER_DS = ds
+    _WORKER_CFG = (num_keypoints, seed, epoch)
+
+
+def _load_item(idx):
+    ds, (K, seed, epoch) = _WORKER_DS, _WORKER_CFG
+    tf = getattr(ds, "transforms", None)
+    if tf is not None and hasattr(tf, "rng"):
+        tf.rng = random.Random(seed * 1000003 + epoch * 9176 + idx)
+    img, t = ds[idx]
+    arr = np.asarray(img, np.float32) / 255.0
+    h, w = arr.shape[:2]
+    return arr, normalize_target(t, w, h, K)
+
+
 class KeypointLoader:
-    """Simple epoch-based loader (single-process; swappable for grain)."""
+    """Epoch-based loader; `num_workers` forks a per-epoch process pool for
+    item decode+transform (0 = fully in-process, the exact legacy stream)."""
 
     def __init__(
         self,
@@ -47,7 +77,9 @@ class KeypointLoader:
         mixup_epochs=(4, 29),
         process_index: int = 0,
         process_count: int = 1,
+        num_workers: int = 0,
     ):
+        self.num_workers = num_workers
         self.ds = dataset
         self.bs = batch_size
         self.K = num_keypoints
@@ -99,14 +131,39 @@ class KeypointLoader:
             from ..parallel.dist import shard_indices
 
             order = shard_indices(order, self.process_index, self.process_count)
+
+        pool = item_iter = None
+        if self.num_workers > 0:
+            import multiprocessing
+
+            if self.drop_last:  # only feed whole batches to the pool
+                order = order[: (len(order) // self.bs) * self.bs]
+            ctx = multiprocessing.get_context("fork")
+            pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                            initargs=(self.ds, self.K, self.seed, self.epoch))
+            item_iter = pool.imap(_load_item, order, chunksize=2)
+        try:
+            yield from self._iter_batches(order, rng, nprng, item_iter)
+        finally:
+            if pool is not None:
+                pool.terminate()
+                pool.join()
+
+    def _iter_batches(self, order, rng, nprng, item_iter):
         for start in range(0, len(order) - (self.bs - 1 if self.drop_last else 0), self.bs):
             idxs = order[start:start + self.bs]
             imgs, tgts = [], []
-            for i in idxs:
-                img, t = self.ds[i]
-                imgs.append(np.asarray(img, np.float32) / 255.0)
-                h, w = imgs[-1].shape[:2]
-                tgts.append(normalize_target(t, w, h, self.K))
+            if item_iter is not None:
+                for _ in idxs:
+                    arr, t = next(item_iter)
+                    imgs.append(arr)
+                    tgts.append(t)
+            else:
+                for i in idxs:
+                    img, t = self.ds[i]
+                    imgs.append(np.asarray(img, np.float32) / 255.0)
+                    h, w = imgs[-1].shape[:2]
+                    tgts.append(normalize_target(t, w, h, self.K))
             images = np.stack(imgs)  # (B, H, W, 3)
 
             # Mixup (reference: dataloader.py:108-172, off in shipped configs):

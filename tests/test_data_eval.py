@@ -151,6 +151,42 @@ def test_dataset_and_loader(tiny_coco):
     assert b["dn"]["labels"].shape[0] == 2
 
 
+def test_loader_worker_pool(tiny_coco):
+    """num_workers>0 forks per-epoch item workers (reference trains with
+    DataLoader num_workers=4, configs/detrpose/include/dataset.py:48).
+    The worker stream must be deterministic (same seed -> identical batches)
+    and structurally identical to the in-process path."""
+    img_dir, ann_file = tiny_coco
+
+    def make_loader(workers):
+        ds = CocoKeypointDataset(
+            img_dir, ann_file, K, train=True,
+            transforms=TrainTransforms(out_size=160, policy_epochs=(0, 2, 4)))
+        return KeypointLoader(ds, batch_size=2, num_keypoints=K, train=True,
+                              max_gt=8, base_size=160, num_workers=workers)
+
+    la, lb = make_loader(2), make_loader(2)
+    la.set_epoch(1)
+    lb.set_epoch(1)
+    batches_a, batches_b = list(la), list(lb)
+    assert len(batches_a) == len(batches_b) == 3
+    for a, b in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(a["images"], b["images"])
+        np.testing.assert_array_equal(a["targets"]["keypoints"],
+                                      b["targets"]["keypoints"])
+        np.testing.assert_array_equal(a["image_ids"], b["image_ids"])
+    # structural parity with the in-process path (the augmentation RNG
+    # stream differs by design: per-item seeding vs one sequential stream)
+    l0 = make_loader(0)
+    l0.set_epoch(1)
+    batches_0 = list(l0)
+    assert len(batches_0) == 3
+    for a, c in zip(batches_a, batches_0):
+        assert a["images"].shape == c["images"].shape
+        np.testing.assert_array_equal(a["image_ids"], c["image_ids"])
+        assert set(a["targets"]) == set(c["targets"])
+
+
 def test_eval_loader_roundtrip(tiny_coco):
     img_dir, ann_file = tiny_coco
     ds = CocoKeypointDataset(img_dir, ann_file, K, train=False,

@@ -31,7 +31,9 @@ def test_trainer_fit_and_eval(tmp_path):
         transforms=TrainTransforms(out_size=160, num_keypoints=K,
                                    policy_epochs=(99, 100, 101)))  # no heavy augs
     train_loader = KeypointLoader(tds, batch_size=2, num_keypoints=K, train=True,
-                                  base_size=160, num_queries=mcfg.num_queries)
+                                  base_size=160, num_queries=mcfg.num_queries,
+                                  num_workers=2)  # exercise the forked
+    # item-worker pool inside a real fit (train.py defaults to 4)
     vds = CocoKeypointDataset(img_dir, ann_file, K, train=False,
                               transforms=EvalTransforms(out_size=160))
     val_loader = KeypointLoader(vds, batch_size=2, num_keypoints=K, train=False,

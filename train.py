@@ -89,7 +89,9 @@ def main():
             base_size_repeat=tp.get("base_size_repeat"),
             multiscale_stop_epoch=tp.get("multiscale_stop_epoch", 48),
             num_queries=mcfg.num_queries,
-            process_index=pidx, process_count=pcount))
+            process_index=pidx, process_count=pcount,
+            # reference: DataLoader(num_workers=4), include/dataset.py:48
+            num_workers=tp.get("num_workers", 4)))
     if args.val_img_dir and args.val_ann:
         vds = CocoKeypointDataset(
             args.val_img_dir, args.val_ann, K, train=False,
