@@ -210,9 +210,9 @@ class KeypointLoader:
 class Prefetcher:
     """Background-thread batch prefetch so host data prep overlaps device compute.
 
-    The reference relies on torch DataLoader workers; here a single prefetch
-    thread suffices because batch assembly (PIL decode + numpy) is the only
-    host cost and the train step is asynchronous on device.
+    Complements KeypointLoader(num_workers=N): the pool parallelizes item
+    decode+transform across processes; this thread moves batch assembly off
+    the dispatch thread so the train loop never waits on the host.
 
     Usage: `for batch in Prefetcher(loader, depth=2): ...`
     """
