@@ -8,7 +8,11 @@ import jax.numpy as jnp
 from detrpose_tpu.configs import model_config, build_model
 
 
-@pytest.mark.parametrize("grad_energy", [False, True])
+@pytest.mark.parametrize(
+    "grad_energy",
+    [pytest.param(False, marks=pytest.mark.slow),  # 90s eager CPU pass; the
+     # True variant keeps energy-refinement coverage in the fast tier
+     True])
 def test_energy_refinement_forward(grad_energy):
     cfg = model_config("n", use_energy_refinement=True, energy_steps=2,
                        grad_energy=grad_energy, energy_decrease_weight=0.01)
