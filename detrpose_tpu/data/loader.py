@@ -30,10 +30,11 @@ def generate_scales(base_size: int, base_size_repeat: int) -> List[int]:
 # The reference trains with DataLoader(num_workers=4)
 # (configs/detrpose/include/dataset.py:48): JPEG decode + the augmentation
 # policy (mosaic decodes 4 extra images) cannot keep a TPU fed from one
-# Python thread. Workers are forked per epoch AFTER set_epoch so they
-# inherit the epoch-dependent policy state; each item re-seeds the
-# transform RNG from (seed, epoch, index) so results are deterministic and
-# independent of worker scheduling (torch similarly re-seeds per worker).
+# Python thread. A per-epoch forkserver pool is created AFTER set_epoch so
+# the pickled dataset carries the epoch-dependent policy state; each item
+# re-seeds the transform RNG from (seed, epoch, index) so results are
+# deterministic and independent of worker scheduling (torch similarly
+# re-seeds per worker).
 _WORKER_DS = None
 _WORKER_CFG = None
 
@@ -50,13 +51,18 @@ def _load_item(idx):
     if tf is not None and hasattr(tf, "rng"):
         tf.rng = random.Random(seed * 1000003 + epoch * 9176 + idx)
     img, t = ds[idx]
-    arr = np.asarray(img, np.float32) / 255.0
+    # Ship uint8 back through the pipe when the pipeline kept pixels uint8
+    # (PIL path): 4x less IPC than float32; the parent dequantizes once per
+    # batch. A float-producing pipeline passes through untouched.
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = np.asarray(img, np.float32) / 255.0
     h, w = arr.shape[:2]
     return arr, normalize_target(t, w, h, K)
 
 
 class KeypointLoader:
-    """Epoch-based loader; `num_workers` forks a per-epoch process pool for
+    """Epoch-based loader; `num_workers` spins up a per-epoch worker pool for
     item decode+transform (0 = fully in-process, the exact legacy stream)."""
 
     def __init__(
@@ -138,7 +144,14 @@ class KeypointLoader:
 
             if self.drop_last:  # only feed whole batches to the pool
                 order = order[: (len(order) // self.bs) * self.bs]
-            ctx = multiprocessing.get_context("fork")
+            # forkserver, not fork: the parent is multithreaded by the time
+            # an epoch starts (JAX/XLA runtime threads, the Prefetcher's
+            # worker thread calls this __iter__), and fork() from a threaded
+            # process can inherit a held malloc/logging/runtime lock and
+            # deadlock the child. Workers fork from the clean forkserver
+            # process instead; the dataset is pickled to each worker once per
+            # epoch (same cost torch's spawn-context DataLoader pays).
+            ctx = multiprocessing.get_context("forkserver")
             pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                             initargs=(self.ds, self.K, self.seed, self.epoch))
             item_iter = pool.imap(_load_item, order, chunksize=2)
@@ -156,6 +169,8 @@ class KeypointLoader:
             if item_iter is not None:
                 for _ in idxs:
                     arr, t = next(item_iter)
+                    if arr.dtype == np.uint8:  # dequantize uint8 IPC payloads
+                        arr = arr.astype(np.float32) / 255.0
                     imgs.append(arr)
                     tgts.append(t)
             else:

@@ -131,7 +131,15 @@ def bench_data(size: str, img_dir: str | None, batch: int = 1, res: int = 640,
     from ..configs import model_config, build_model
     from ..models import postprocess
 
-    if not img_dir or not glob.glob(os.path.join(img_dir, "*.jpg")):
+    exts = (".jpg", ".jpeg", ".png", ".bmp")
+    if img_dir:
+        paths = sorted(os.path.join(img_dir, f) for f in os.listdir(img_dir)
+                       if f.lower().endswith(exts))
+        if not paths:
+            raise SystemExit(
+                f"--data {img_dir}: no images found (looked for {exts}); "
+                "refusing to silently benchmark synthetic data")
+    else:
         tmp = tempfile.mkdtemp(prefix="bench_jpegs_")
         rng = np.random.default_rng(0)
         for i in range(num_images):
@@ -140,7 +148,8 @@ def bench_data(size: str, img_dir: str | None, batch: int = 1, res: int = 640,
                 rng.integers(0, 255, (h, w, 3), np.uint8), "RGB"
             ).save(os.path.join(tmp, f"{i:06d}.jpg"), quality=90)
         img_dir = tmp
-    paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg")))[:num_images]
+        paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg")))
+    paths = paths[:num_images]
 
     cfg = model_config(size, num_body_points=num_body_points,
                        dtype=jnp.bfloat16 if bf16 else jnp.float32)

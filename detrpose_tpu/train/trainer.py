@@ -65,6 +65,8 @@ class Trainer:
         freeze_stem_only: bool = True,
         freeze_backbone: bool = False,
         stage_uint8: Optional[bool] = None,
+        eval_stage_uint8: bool = False,
+        track_regular_best: bool = True,
     ):
         self.model = model
         self.cfg = model_cfg
@@ -142,6 +144,12 @@ class Trainer:
         # when exact float inputs matter more than H2D cost.
         self._img_u8 = (model_cfg.dtype == jnp.bfloat16
                         if stage_uint8 is None else bool(stage_uint8))
+        # Eval/test stage in float by default regardless of stage_uint8: the
+        # AP-parity protocol was established on exact float inputs, and a
+        # silent 1/255 quantization of val pixels could drift reported AP.
+        # Opt in (eval_stage_uint8=True) when H2D bandwidth dominates eval.
+        self._img_u8_eval = bool(eval_stage_uint8)
+        self.track_regular_best = track_regular_best
         self._model_dtype = model_cfg.dtype
 
         def eval_fn(v, img, ts):
@@ -195,11 +203,12 @@ class Trainer:
     # dn leaves that are identical across the batch (not batch-sharded)
     _REPL_LEAVES = ("attn_mask", "num_group", "active_mask")
 
-    def _stage_images(self, images) -> np.ndarray:
+    def _stage_images(self, images, for_eval: bool = False) -> np.ndarray:
         """Host-side image staging: bf16 models ship uint8 (4x fewer H2D
-        bytes, dequantized on device — see __init__), f32 models ship f32."""
+        bytes, dequantized on device — see __init__), f32 models ship f32.
+        Eval stages float unless eval_stage_uint8 opts in (see __init__)."""
         img = np.asarray(images, np.float32)
-        if self._img_u8:
+        if self._img_u8_eval if for_eval else self._img_u8:
             return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
         return img
 
@@ -256,8 +265,12 @@ class Trainer:
 
         self.train_loader.set_epoch(epoch)
         n = 0
-        keys: list = []
-        acc = None
+        # Accumulators keyed by metric structure: an epoch can mix dn and
+        # no-dn batches (build_cdn returns None for a batch with zero valid
+        # GT), whose metric dicts carry different key sets — one stacked
+        # vector per structure, merged per-key at epoch end.
+        accs: Dict[tuple, Any] = {}
+        acc_n: Dict[tuple, int] = {}
         logger = MetricLogger()
         total_steps = len(self.train_loader)
         t_loop0 = t_steady = time.perf_counter()
@@ -275,10 +288,10 @@ class Trainer:
                 # first-use eager compiles cost minutes. Sync only at the
                 # NaN-check cadence; the step itself already *skips* non-finite
                 # updates on device (train_step.py).
-                acc = self._jit_accum(acc, metrics) if acc is not None else (
-                    self._jit_stack(metrics))
-                if not keys:
-                    keys = list(metrics)
+                mk = tuple(metrics)
+                accs[mk] = (self._jit_accum(accs[mk], metrics) if mk in accs
+                            else self._jit_stack(metrics))
+                acc_n[mk] = acc_n.get(mk, 0) + 1
                 # The first check happens at the cadence, not at step 1: on
                 # the axon runtime the FIRST device->host value read of the
                 # process permanently degrades execution ~100x (measured
@@ -299,16 +312,22 @@ class Trainer:
                 if n <= 2:
                     # steady-state timing starts once every first-use compile
                     # (step executable at n=1, eager stack/add at n<=2) is done
-                    jax.block_until_ready(acc)
+                    jax.block_until_ready(accs[mk])
                     t_steady = time.perf_counter()
         # Drain the queue with block_until_ready BEFORE the value read: on
         # axon a fetch that drains queued work runs ~20x slower than the work
         # itself (measured 7.5 s/step vs ~0.4 s/step), while a block-drain
         # runs at execution speed; the read then copies a ready buffer.
-        if acc is not None:
-            jax.block_until_ready(acc)
-        out = dict(zip(keys, (np.asarray(acc, np.float64) / max(n, 1)).tolist())
-                   ) if keys else {}
+        out: Dict[str, float] = {}
+        if accs:
+            jax.block_until_ready(list(accs.values()))
+            sums: Dict[str, float] = {}
+            cnts: Dict[str, int] = {}
+            for mk, acc in accs.items():
+                for k, v in zip(mk, np.asarray(acc, np.float64).tolist()):
+                    sums[k] = sums.get(k, 0.0) + v
+                    cnts[k] = cnts.get(k, 0) + acc_n[mk]
+            out = {k: sums[k] / cnts[k] for k in sums}
         # measured Trainer-LOOP step time (host batch prep + H2D transfer +
         # step), steady state excluding the first/compile step — comparable to
         # tools/benchmark.bench_train_step's pre-staged number
@@ -340,7 +359,7 @@ class Trainer:
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padn, 0)])
                     sizes = np.concatenate([sizes, np.repeat(sizes[-1:], padn, 0)])
                 scores, labels, kpts = self._jit_eval(
-                    variables, self._stage_images(imgs),
+                    variables, self._stage_images(imgs, for_eval=True),
                     np.asarray(sizes))
                 jax.block_until_ready(scores)  # block-drain, THEN read
                 scores, kpts = np.asarray(scores), np.asarray(kpts)
@@ -389,7 +408,7 @@ class Trainer:
                     imgs = np.concatenate([imgs, np.repeat(imgs[-1:], padn, 0)])
                     sizes = np.concatenate([sizes, np.repeat(sizes[-1:], padn, 0)])
                 scores, labels, kpts = self._jit_eval(
-                    variables, self._stage_images(imgs),
+                    variables, self._stage_images(imgs, for_eval=True),
                     np.asarray(sizes))
                 jax.block_until_ready(scores)  # block-drain, THEN read
                 scores = np.asarray(scores, np.float32)
@@ -440,8 +459,13 @@ class Trainer:
             # so both best streams are tracked (metrics.py:47-84).
             stats = self.evaluate()
             ap = stats.get("AP", -1.0)
+            # The second (regular-weights) val pass doubles per-epoch eval
+            # wall time; track_regular_best=False opts out and matches the
+            # reference's single-stream per-epoch eval (trainer.py:240-250).
             stats_reg: Dict[str, float] = {}
-            if self.use_ema and self.state.ema is not None and self.val_loader is not None:
+            if (self.track_regular_best and self.use_ema
+                    and self.state.ema is not None
+                    and self.val_loader is not None):
                 stats_reg = self.evaluate(use_ema=False)
             ap_reg = stats_reg.get("AP", -1.0)
 

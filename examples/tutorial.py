@@ -66,6 +66,15 @@ def main():
     # one XLA program (first call compiles, ~20-40s on TPU).
     import jax.numpy as jnp
 
+    if not os.path.exists(args.image):
+        # Default demo asset is sandbox-specific; synthesize a stand-in so
+        # the tutorial runs anywhere (poses on random init are arbitrary
+        # either way — the point is driving the pipeline end to end).
+        print(f"{args.image} not found; synthesizing a demo image")
+        rng = np.random.default_rng(0)
+        args.image = "/tmp/tutorial_demo.jpg"
+        Image.fromarray(rng.integers(0, 255, (480, 640, 3), np.uint8),
+                        "RGB").save(args.image)
     img = Image.open(args.image).convert("RGB")
     w, h = img.size
     t0 = time.time()
