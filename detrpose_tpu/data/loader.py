@@ -14,7 +14,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from .coco import normalize_target, pad_targets
-from ..train.cdn import build_cdn
+from ..train.cdn import CDNConfig, build_cdn
 
 
 def generate_scales(base_size: int, base_size_repeat: int) -> List[int]:
@@ -77,6 +77,7 @@ class KeypointLoader:
         multiscale_stop_epoch: int = 48,
         with_cdn: bool = True,
         num_queries: int = 60,
+        num_classes: int = 2,
         seed: int = 0,
         drop_last: bool = True,
         mixup_prob: float = 0.0,
@@ -99,6 +100,7 @@ class KeypointLoader:
         self.multiscale_stop_epoch = multiscale_stop_epoch
         self.with_cdn = with_cdn and train
         self.num_queries = num_queries
+        self.cdn_cfg = CDNConfig(num_classes=num_classes)
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last
@@ -216,7 +218,7 @@ class KeypointLoader:
             }
             if self.with_cdn:
                 dn = build_cdn(batch["targets"], self.num_queries, self.K,
-                               images.shape[1:3], nprng)
+                               images.shape[1:3], nprng, self.cdn_cfg)
                 if dn is not None:
                     batch["dn"] = dn
             yield batch

@@ -39,7 +39,8 @@ def init_train_state(model, tx, rng, sample_batch, use_ema: bool = True,
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        ema=EMA.init(params) if use_ema else None,
+        ema=(EMA.init(params, variables.get("batch_stats", {}))
+             if use_ema else None),
     )
 
 
@@ -113,11 +114,11 @@ def make_train_step(
                 new_ema = jax.lax.cond(
                     is_opt_step,
                     lambda: EMA.update(state.ema, new_params, ema_decay,
-                                       ema_warmups),
+                                       ema_warmups, batch_stats=new_stats),
                     lambda: state.ema)
             else:
                 new_ema = EMA.update(state.ema, new_params, ema_decay,
-                                     ema_warmups)
+                                     ema_warmups, batch_stats=new_stats)
         else:
             new_ema = state.ema
 

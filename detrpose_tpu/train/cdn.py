@@ -33,9 +33,25 @@ def _inverse_sigmoid_np(x, eps=1e-3):
 class CDNConfig:
     dn_number: int = 20          # reference dn_args=(targets, 20, 0.5)
     label_noise_ratio: float = 0.5
-    num_classes: int = 80
+    num_classes: int = 2         # include/detrpose_hgnetv2.py:27 (label_enc size)
     pad_cap: int = 64            # static DN slot capacity
     match_cap: int = 32          # static positive-match capacity
+
+
+def _ref_normalize_pm1(v: np.ndarray, eps: float = 1e-12) -> np.ndarray:
+    """Reproduce torch F.normalize(v, -1) — i.e. p=-1 along dim=1 — exactly.
+
+    The reference intends a unit direction vector (dn_component.py:121-122
+    "||rand_vector|| = 1") but `F.normalize(rand_vector, -1)` binds -1 to the
+    *p* argument (dim stays at its default 1), so each (instance, coord) slice
+    is divided by the reciprocal-sum "norm" (sum_k 1/|v_k|)^-1 over the 1+K
+    keypoint axis. The resulting vectors have heavy-tailed L2 norms (~64 mean
+    for 1+17 slots) — the zoo checkpoints were trained with THIS noise scale,
+    so we reproduce it bug-for-bug (like the center-coordinate bug below).
+    Verified against live torch in tests/test_train_stack.py.
+    """
+    norm = np.sum(np.abs(v) ** -1.0, axis=1, keepdims=True) ** -1.0
+    return v / np.maximum(norm, eps)
 
 
 def build_cdn(
@@ -123,10 +139,10 @@ def build_cdn(
 
         for g in range(groups):
             for sign in range(2):  # 0 = positive, 1 = negative
-                # noise direction + OKS-calibrated magnitude (:120-128)
+                # noise direction + OKS-calibrated magnitude (:120-128);
+                # the "direction" is NOT unit length — see _ref_normalize_pm1
                 vec = rng.random((n, 1 + K, 2)).astype(np.float32)
-                norm = np.linalg.norm(vec, axis=-1, keepdims=True) + 1e-12
-                vec = vec / norm
+                vec = _ref_normalize_pm1(vec)
                 if sign == 0:
                     alpha = rng.uniform(-np.log(1.0), -np.log(0.5), (n, 1 + K, 1))
                 else:

@@ -118,22 +118,34 @@ def make_optimizer(
 
 
 class EMA:
-    """Functional EMA state helpers (reference: src/nn/optimizer/ema.py)."""
+    """Functional EMA state helpers (reference: src/nn/optimizer/ema.py).
+
+    The reference EMAs every floating entry of the full state_dict — BN
+    running stats included (ema.py:55-67 iterates state_dict(), not just
+    parameters) — so the EMA state here carries both params and batch_stats.
+    """
 
     @staticmethod
-    def init(params):
+    def init(params, batch_stats=None):
         # Copy (not alias) so state.params and state.ema.params are distinct
         # buffers — donation of the TrainState would otherwise see the same
         # buffer twice.
-        return {"params": jax.tree.map(lambda p: jnp.array(p, copy=True), params),
+        copy = lambda t: jax.tree.map(lambda p: jnp.array(p, copy=True), t)
+        return {"params": copy(params),
+                "batch_stats": copy(batch_stats if batch_stats is not None else {}),
                 "updates": jnp.zeros((), jnp.int32)}
 
     @staticmethod
-    def update(ema_state, params, decay: float = 0.9999, warmups: int = 2000):
+    def update(ema_state, params, decay: float = 0.9999, warmups: int = 2000,
+               batch_stats=None):
         updates = ema_state["updates"] + 1
         d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / warmups))
-        new = jax.tree.map(
-            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-            ema_state["params"], params,
-        )
-        return {"params": new, "updates": updates}
+        blend = lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d)
+        new = jax.tree.map(blend, ema_state["params"], params)
+        out = {"params": new, "updates": updates}
+        if batch_stats is not None and "batch_stats" in ema_state:
+            out["batch_stats"] = jax.tree.map(
+                blend, ema_state["batch_stats"], batch_stats)
+        else:
+            out["batch_stats"] = ema_state.get("batch_stats", {})
+        return out

@@ -336,14 +336,22 @@ class Trainer:
         out["epoch_s"] = time.perf_counter() - t_loop0
         return out
 
+    def _eval_variables(self, use_ema: bool) -> Dict[str, Any]:
+        """Weights + BN stats for an eval pass. The EMA stream carries its own
+        batch_stats (reference ModelEMA EMAs the full state_dict, ema.py:55-67,
+        so its eval uses EMA'd running stats, not the live ones)."""
+        if use_ema and self.state.ema is not None:
+            stats = self.state.ema.get("batch_stats") or self.state.batch_stats
+            return {"params": self.state.ema["params"], "batch_stats": stats}
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
     # ------------------------------------------------------------------ eval
     def evaluate(self, use_ema: Optional[bool] = None) -> Dict[str, float]:
         if self.val_loader is None or self.val_gts is None:
             return {}
         use_ema = self.use_ema if use_ema is None else use_ema
-        params = (self.state.ema["params"]
-                  if (use_ema and self.state.ema is not None) else self.state.params)
-        variables = {"params": params, "batch_stats": self.state.batch_stats}
+        variables = self._eval_variables(use_ema)
         ev = KeypointEvaluator(self.val_gts, self.cfg.num_body_points,
                                use_area=self.eval_use_area,
                                crowd_index=self.crowd_index)
@@ -393,9 +401,7 @@ class Trainer:
         (test-dev submission format; reference: trainer.py:324-341)."""
         assert self.val_loader is not None
         use_ema = self.use_ema if use_ema is None else use_ema
-        params = (self.state.ema["params"]
-                  if (use_ema and self.state.ema is not None) else self.state.params)
-        variables = {"params": params, "batch_stats": self.state.batch_stats}
+        variables = self._eval_variables(use_ema)
         results = []
         n_dev = len(self.mesh.devices.reshape(-1))
         with self._mesh_ctx():
@@ -529,7 +535,9 @@ class Trainer:
         variables = convert_state_dict(sd, dict(template))
         params = jax.tree.map(jnp.asarray, variables["params"])
         stats = jax.tree.map(jnp.asarray, variables["batch_stats"])
-        new_ema = (dict(self.state.ema, params=jax.tree.map(jnp.array, params))
+        new_ema = (dict(self.state.ema,
+                        params=jax.tree.map(jnp.array, params),
+                        batch_stats=jax.tree.map(jnp.array, stats))
                    if self.state.ema is not None else None)
         self.state = self.state.replace(params=params, batch_stats=stats,
                                         ema=new_ema)

@@ -36,7 +36,12 @@ def restore_variables(path: str, variables_template: Any,
     raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     rs = raw["state"]
     ema = rs.get("ema")
-    params = ema["params"] if (prefer_ema and ema is not None) else rs["params"]
+    use_ema = prefer_ema and ema is not None
+    params = ema["params"] if use_ema else rs["params"]
+    # the EMA stream carries its own EMA'd BN stats (reference ModelEMA EMAs
+    # the full state_dict); older checkpoints lack them -> live stats
+    stats = (ema.get("batch_stats") or rs["batch_stats"]) if use_ema \
+        else rs["batch_stats"]
 
     def cast(t, v):
         return jax.numpy.asarray(v, t.dtype)
@@ -44,7 +49,7 @@ def restore_variables(path: str, variables_template: Any,
     return {
         "params": jax.tree.map(cast, variables_template["params"], params),
         "batch_stats": jax.tree.map(
-            cast, variables_template["batch_stats"], rs["batch_stats"]),
+            cast, variables_template["batch_stats"], stats),
     }
 
 
@@ -79,6 +84,10 @@ def restore_checkpoint(path: str, template: Any) -> Tuple[Any, int]:
             ckptr2 = ocp.PyTreeCheckpointer()
             raw = ckptr2.restore(path)
             rs = raw["state"]
+            # pre-batch_stats-EMA checkpoints: seed the EMA stats stream
+            # from the live running stats
+            if rs.get("ema") is not None and "batch_stats" not in rs["ema"]:
+                rs["ema"] = dict(rs["ema"], batch_stats=rs["batch_stats"])
             restored_state = template.replace(
                 params=jax.tree.map(
                     lambda t, v: jax.numpy.asarray(v, t.dtype),

@@ -48,6 +48,32 @@ def _tiny_state(grad_accum=1):
         opt_state=tx.init(params), ema=EMA.init(params))
 
 
+def test_ema_tracks_batch_stats():
+    """Reference ModelEMA EMAs every floating state_dict entry — BN running
+    stats included (ema.py:55-67) — so EMA.update must blend batch_stats with
+    the same warmup-ramped decay as the params."""
+    from detrpose_tpu.train.optim import EMA
+
+    params = {"w": jnp.ones((3,))}
+    stats = {"bn": {"mean": jnp.zeros((3,)), "var": jnp.ones((3,))}}
+    ema = EMA.init(params, stats)
+    np.testing.assert_array_equal(np.asarray(ema["batch_stats"]["bn"]["mean"]),
+                                  np.zeros(3))
+    new_stats = {"bn": {"mean": jnp.full((3,), 10.0), "var": jnp.ones((3,))}}
+    ema2 = EMA.update(ema, {"w": jnp.full((3,), 5.0)}, decay=0.5, warmups=1,
+                      batch_stats=new_stats)
+    d = 0.5 * (1.0 - np.exp(-1.0))  # warmup-ramped decay at updates=1
+    np.testing.assert_allclose(np.asarray(ema2["batch_stats"]["bn"]["mean"]),
+                               np.full(3, (1 - d) * 10.0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema2["params"]["w"]),
+                               np.full(3, 1.0 * d + 5.0 * (1 - d)), rtol=1e-6)
+    # updating without stats keeps the existing EMA stats untouched
+    ema3 = EMA.update(ema2, {"w": jnp.ones((3,))}, decay=0.5, warmups=1)
+    np.testing.assert_array_equal(
+        np.asarray(ema3["batch_stats"]["bn"]["mean"]),
+        np.asarray(ema2["batch_stats"]["bn"]["mean"]))
+
+
 def test_restore_falls_back_on_optimizer_mismatch(tmp_path):
     """Changing the optimizer between save and resume (here: enabling grad
     accumulation, which wraps the opt state in MultiSteps) must not abort —

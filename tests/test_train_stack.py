@@ -122,6 +122,43 @@ def test_cdn_builder_structure():
     assert (dn["dn_match"]["query_idx"][mv] < cap).all()
 
 
+def test_cdn_direction_normalization_matches_torch():
+    """The DN 'direction' reproduces torch F.normalize(v, -1) bug-for-bug.
+
+    The reference (dn_component.py:121-122) comments "||rand_vector|| = 1" but
+    F.normalize(rand_vector, -1) binds -1 to p (dim defaults to 1), so the
+    vectors are p=-1-normalized over the 1+K axis and have heavy-tailed L2
+    norms — the noise scale the zoo checkpoints were actually trained with.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    from detrpose_tpu.train.cdn import _ref_normalize_pm1
+
+    rng = np.random.default_rng(7)
+    v = rng.random((12, 18, 2)).astype(np.float32)
+    ours = _ref_normalize_pm1(v.astype(np.float64)).astype(np.float32)
+    theirs = F.normalize(torch.from_numpy(v).double(), -1).float().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+    # sanity: these are NOT unit vectors (mean L2 ~ 64 for 18 slots)
+    norms = np.linalg.norm(ours, axis=-1)
+    assert norms.mean() > 10.0
+
+
+def test_cdn_label_noise_stays_in_num_classes():
+    """Noised labels must index within label_enc (num_classes=2,
+    include/detrpose_hgnetv2.py:27); out-of-range ids would be silently
+    clamped by jnp's gather into the wrong embedding row."""
+    rng = np.random.default_rng(11)
+    B, G, K, nq = 4, 8, 17, 60
+    tgts = _rand_targets(rng, B, G, K)
+    dn = build_cdn(tgts, nq, K, (640, 640), rng, CDNConfig(num_classes=2))
+    assert dn is not None
+    assert dn["labels"].max() < 2
+    # with enough draws the 0.25 flip rate must actually produce some 1s
+    assert (dn["labels"][dn["slot_used"]] == 1).any()
+
+
 def test_criterion_smoke_finite():
     rng = np.random.default_rng(3)
     B, nq, G, K, C, L = 2, 10, 4, 17, 2, 3

@@ -117,9 +117,10 @@ def eval_fn(v, img, ts):
                        num_body_points=K)
 
 
-def run_eval(params):
+def run_eval(params, stats=None):
     ev = KeypointEvaluator(val_gts, K)
-    variables = {"params": params, "batch_stats": state.batch_stats}
+    variables = {"params": params,
+                 "batch_stats": state.batch_stats if stats is None else stats}
     for b in vloader:
         scores, labels, kpts = eval_fn(variables,
                                        jnp.asarray(b["images"], jnp.float32),
@@ -135,7 +136,7 @@ def run_eval(params):
 stats = run_eval(state.params)
 print("AP (regular):", json.dumps({k: round(v, 4) for k, v in stats.items()}))
 if state.ema is not None:
-    stats_ema = run_eval(state.ema["params"])
+    stats_ema = run_eval(state.ema["params"], state.ema.get("batch_stats"))
     print("AP (ema):    ",
           json.dumps({k: round(v, 4) for k, v in stats_ema.items()}))
 
