@@ -141,7 +141,7 @@ if state.ema is not None:
           json.dumps({k: round(v, 4) for k, v in stats_ema.items()}))
 
 # ---- generalization: fresh UNSEEN drawn images from the same distribution
-h_dir, h_ann = make_tiny_coco("/tmp/synth_holdout", n_images=8, w=RES, h=RES,
+h_dir, h_ann = make_tiny_coco("/tmp/synth_holdout", n_images=32, w=RES, h=RES,
                               people=2, seed=123, draw=True)
 hds = CocoKeypointDataset(h_dir, h_ann, K, train=False,
                           transforms=EvalTransforms(out_size=RES))
@@ -157,9 +157,10 @@ hloader = KeypointLoader(hds, batch_size=8, num_keypoints=K, train=False,
                          with_cdn=False, drop_last=False)
 
 
-def run_eval_holdout(params):
+def run_eval_holdout(params, stats_=None):
     ev = KeypointEvaluator(h_gts, K)
-    variables = {"params": params, "batch_stats": state.batch_stats}
+    variables = {"params": params,
+                 "batch_stats": state.batch_stats if stats_ is None else stats_}
     for b in hloader:
         scores, labels, kpts = eval_fn(variables,
                                        jnp.asarray(b["images"], jnp.float32),
@@ -173,8 +174,15 @@ def run_eval_holdout(params):
 
 
 h_stats = run_eval_holdout(state.params)
-print("AP (held-out):",
+print("AP (held-out, regular):",
       json.dumps({k: round(v, 4) for k, v in h_stats.items()}))
-print("VERDICT:", "LEARNS" if stats["AP"] > 0.3 else "WEAK",
-      f"(train AP={stats['AP']:.3f}, held-out AP={h_stats['AP']:.3f}, "
+best_train, best_hold = stats, h_stats
+if state.ema is not None:
+    h_ema = run_eval_holdout(state.ema["params"], state.ema.get("batch_stats"))
+    print("AP (held-out, ema):    ",
+          json.dumps({k: round(v, 4) for k, v in h_ema.items()}))
+    if stats_ema["AP"] > best_train["AP"]:
+        best_train, best_hold = stats_ema, h_ema
+print("VERDICT:", "LEARNS" if best_train["AP"] > 0.3 else "WEAK",
+      f"(train AP={best_train['AP']:.3f}, held-out AP={best_hold['AP']:.3f}, "
       f"loss {curve[0][1]:.1f} -> {curve[-1][1]:.1f})")
