@@ -14,6 +14,41 @@ def rand_pose(rng, cx, cy, K=17, spread=40):
     return kp
 
 
+# COCO-ordered 17-joint template in a unit body frame (y down), roughly
+# anatomical so joint identity is recoverable from geometry alone — random
+# scatter poses are only learnable by memorization (recorded: 512-image probe
+# hit train AP 0.60 / held-out 0.00 on scatter poses).
+_TEMPLATE_17 = np.array([
+    (0.00, -1.00), (-0.08, -1.08), (0.08, -1.08), (-0.20, -1.02),
+    (0.20, -1.02), (-0.36, -0.70), (0.36, -0.70), (-0.52, -0.30),
+    (0.52, -0.30), (-0.58, 0.10), (0.58, 0.10), (-0.22, 0.00),
+    (0.22, 0.00), (-0.26, 0.55), (0.26, 0.55), (-0.28, 1.05), (0.28, 1.05),
+])
+
+
+def structured_pose(rng, cx, cy, K=17, scale=None):
+    """A template stick figure under a random similarity transform + jitter.
+
+    Unlike rand_pose's uniform scatter, the geometry itself identifies each
+    joint, so a detector can generalize to unseen layouts.
+    """
+    if K != 17:
+        return rand_pose(rng, cx, cy, K, 30)
+    s = rng.uniform(20, 34) if scale is None else scale
+    rot = rng.uniform(-0.45, 0.45)
+    pts = _TEMPLATE_17 * s
+    if rng.random() < 0.5:  # viewed from behind: mirror left/right
+        pts = pts * np.array([-1.0, 1.0])
+    c, sn = np.cos(rot), np.sin(rot)
+    pts = pts @ np.array([[c, -sn], [sn, c]]).T
+    pts = pts + rng.uniform(-2.0, 2.0, pts.shape)
+    kp = np.zeros((K, 3))
+    kp[:, 0] = cx + pts[:, 0]
+    kp[:, 1] = cy + pts[:, 1]
+    kp[:, 2] = 2
+    return kp
+
+
 _LIMBS_17 = [(15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11),
              (6, 12), (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2),
              (0, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 6)]
@@ -59,7 +94,7 @@ def _draw_people(rng, w, h, poses):
 
 
 def make_tiny_coco(root, n_images=6, K=17, w=320, h=240, people=2, seed=0,
-                   draw=False):
+                   draw=False, structured=False):
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -68,9 +103,12 @@ def make_tiny_coco(root, n_images=6, K=17, w=320, h=240, people=2, seed=0,
     for i in range(n_images):
         if draw:
             poses = []
+            m = min(60, w // 4)  # at 160px a fixed 60 pins everyone mid-frame
             for j in range(people):
-                kp = rand_pose(rng, rng.uniform(60, w - 60),
-                               rng.uniform(60, h - 60), K, 30)
+                mk = structured_pose if structured else (
+                    lambda r, x, y, k: rand_pose(r, x, y, k, 30))
+                kp = mk(rng, rng.uniform(m, w - m),
+                        rng.uniform(m, h - m), K)
                 kp[:, 0] = kp[:, 0].clip(0, w - 1)
                 kp[:, 1] = kp[:, 1].clip(0, h - 1)
                 poses.append(kp)

@@ -44,7 +44,7 @@ N_IMG = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 SAMPLE_EVERY = 250
 
 img_dir, ann = make_tiny_coco("/tmp/synth_overfit", n_images=N_IMG, w=RES,
-                              h=RES, people=2, draw=True)
+                              h=RES, people=2, draw=True, structured=True)
 mcfg = model_config("n", dtype=jnp.bfloat16)
 model = build_model(mcfg)
 
@@ -142,7 +142,7 @@ if state.ema is not None:
 
 # ---- generalization: fresh UNSEEN drawn images from the same distribution
 h_dir, h_ann = make_tiny_coco("/tmp/synth_holdout", n_images=32, w=RES, h=RES,
-                              people=2, seed=123, draw=True)
+                              people=2, seed=123, draw=True, structured=True)
 hds = CocoKeypointDataset(h_dir, h_ann, K, train=False,
                           transforms=EvalTransforms(out_size=RES))
 h_gts = {
