@@ -42,6 +42,10 @@ RES = 160
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 N_IMG = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 SAMPLE_EVERY = 250
+# Constant LR until 85% of the run, then x0.1 — from-scratch DETR training
+# needs the decay to settle (recorded: constant-LR 20k-step run plateaued
+# at train AP 0.60 with the loss still falling).
+DECAY_AT = max(1, int(STEPS * 0.85))
 
 img_dir, ann = make_tiny_coco("/tmp/synth_overfit", n_images=N_IMG, w=RES,
                               h=RES, people=2, draw=True, structured=True)
@@ -73,10 +77,17 @@ def _stage(raw):
 
 batches = [_stage(r) for r in loader]
 print(f"{N_IMG} images, {len(batches)} fixed batches of 16")
+# One more pass with a different shuffle + fresh CDN noise realizations, so
+# no image is always seen with the same batchmates/noise (memorization
+# pressure: the first 512-image probe staged each image exactly once).
+if hasattr(loader, "set_epoch"):
+    loader.set_epoch(1)
+    batches += [_stage(r) for r in loader]
+    print(f"staged second epoch: {len(batches)} distinct batches total")
 
 params_shape = jax.eval_shape(lambda: model.init(
     jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=True))["params"]
-tx = make_optimizer(params_shape, milestones=(10**9,))
+tx = make_optimizer(params_shape, milestones=(DECAY_AT,))
 state = init_train_state(model, tx, jax.random.PRNGKey(0),
                          jnp.zeros((1, 128, 128, 3)))
 step = jax.jit(make_train_step(model, tx, num_body_points=K,
