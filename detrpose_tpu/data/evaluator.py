@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..ops.oks import keypoint_sigmas
+from ..constants import keypoint_sigmas
 
 
 def compute_oks(det_kpts, gt_kpts, gt_areas, sigmas, use_area=True, gt_boxes=None):

@@ -8,6 +8,7 @@ is one jit cache entry on TPU.
 """
 from __future__ import annotations
 
+import multiprocessing
 import random
 from typing import Dict, Iterator, List, Optional
 
@@ -49,7 +50,12 @@ def _load_item(idx):
     ds, (K, seed, epoch) = _WORKER_DS, _WORKER_CFG
     tf = getattr(ds, "transforms", None)
     if tf is not None and hasattr(tf, "rng"):
-        tf.rng = random.Random(seed * 1000003 + epoch * 9176 + idx)
+        # Mix with large odd constants so (epoch, idx) pairs never collide
+        # for any realistic dataset size (a small epoch multiplier would make
+        # epoch e item i replay epoch e+1 item i-mult's exact augmentation
+        # stream on datasets larger than the multiplier, e.g. COCO's 118k).
+        tf.rng = random.Random(
+            seed * 0x9E3779B97F4A7C15 + epoch * 0x2545F4914F6CDD1D + idx)
     img, t = ds[idx]
     # Ship uint8 back through the pipe when the pipeline kept pixels uint8
     # (PIL path): 4x less IPC than float32; the parent dequantizes once per
@@ -87,6 +93,7 @@ class KeypointLoader:
         num_workers: int = 0,
     ):
         self.num_workers = num_workers
+        self.worker_timeout = 300.0  # seconds per item fetch before erroring
         self.ds = dataset
         self.bs = batch_size
         self.K = num_keypoints
@@ -142,8 +149,6 @@ class KeypointLoader:
 
         pool = item_iter = None
         if self.num_workers > 0:
-            import multiprocessing
-
             if self.drop_last:  # only feed whole batches to the pool
                 order = order[: (len(order) // self.bs) * self.bs]
             # forkserver, not fork: the parent is multithreaded by the time
@@ -154,23 +159,68 @@ class KeypointLoader:
             # process instead; the dataset is pickled to each worker once per
             # epoch (same cost torch's spawn-context DataLoader pays).
             ctx = multiprocessing.get_context("forkserver")
+            # The forkserver preloads __main__ by default, which re-executes
+            # any driver script missing an `if __name__ == "__main__"` guard
+            # (hang/duplicate work). Preload this module instead: guards
+            # unguarded user scripts and warms worker imports. A no-op once
+            # the server is already running.
+            ctx.set_forkserver_preload(["detrpose_tpu.data.loader"])
             pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                             initargs=(self.ds, self.K, self.seed, self.epoch))
-            item_iter = pool.imap(_load_item, order, chunksize=2)
+            # Backpressure: Pool.imap dispatches its whole input eagerly and
+            # buffers finished results unboundedly (torch's DataLoader bounds
+            # this to prefetch_factor*num_workers) — on a 118k-image epoch
+            # workers outpacing the train step would grow host RSS until the
+            # OOM killer fires. Gate dispatch with a semaphore released once
+            # per consumed item, bounding decoded-but-unconsumed items.
+            import threading
+
+            sem = threading.Semaphore(max(4 * self.num_workers, 2 * self.bs))
+
+            def _gated(seq):
+                for x in seq:
+                    sem.acquire()
+                    yield x
+
+            # chunksize=1: chunksize>1 makes imap return a flattening
+            # generator (no .next(timeout) — needed below for the bounded
+            # fetch), and chunking is pointless for image-sized payloads.
+            item_iter = pool.imap(_load_item, _gated(order), chunksize=1)
         try:
-            yield from self._iter_batches(order, rng, nprng, item_iter)
+            yield from self._iter_batches(order, rng, nprng, item_iter,
+                                          sem if pool is not None else None)
         finally:
             if pool is not None:
+                # Unblock the pool's task-handler thread if it is parked in
+                # _gated's sem.acquire — terminate() joins that thread and
+                # would deadlock otherwise (early exit / exception paths).
+                sem.release(len(order))
                 pool.terminate()
                 pool.join()
 
-    def _iter_batches(self, order, rng, nprng, item_iter):
+    def _iter_batches(self, order, rng, nprng, item_iter, sem=None):
         for start in range(0, len(order) - (self.bs - 1 if self.drop_last else 0), self.bs):
             idxs = order[start:start + self.bs]
             imgs, tgts = [], []
             if item_iter is not None:
                 for _ in idxs:
-                    arr, t = next(item_iter)
+                    # Bounded fetch: a worker that dies during startup (the
+                    # classic case is a driver script missing the
+                    # `if __name__ == "__main__"` guard — forkserver workers
+                    # re-import __main__, same rule as torch's DataLoader)
+                    # would otherwise hang this next() forever.
+                    try:
+                        arr, t = item_iter.next(timeout=self.worker_timeout)
+                    except multiprocessing.TimeoutError:
+                        raise RuntimeError(
+                            f"data worker produced no item within "
+                            f"{self.worker_timeout}s. If your driver script "
+                            f"uses num_workers>0, its entry point must be "
+                            f"wrapped in `if __name__ == '__main__':` "
+                            f"(multiprocessing re-imports __main__ in "
+                            f"workers).") from None
+                    if sem is not None:
+                        sem.release()  # one consumed -> one more dispatched
                     if arr.dtype == np.uint8:  # dequantize uint8 IPC payloads
                         arr = arr.astype(np.float32) / 255.0
                     imgs.append(arr)

@@ -6,32 +6,12 @@ split layout: Z = interleaved (x, y) pairs, V = per-keypoint visibility.
 """
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-_SIGMAS_17 = np.array(
-    [0.26, 0.25, 0.25, 0.35, 0.35, 0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07,
-     1.07, 0.87, 0.87, 0.89, 0.89],
-    dtype=np.float32,
-) / 10.0
-_SIGMAS_14 = np.array(
-    [0.79, 0.79, 0.72, 0.72, 0.62, 0.62, 1.07, 1.07, 0.87, 0.87, 0.89, 0.89,
-     0.79, 0.79],
-    dtype=np.float32,
-) / 10.0
-_SIGMAS_3 = np.array([1.07, 1.07, 0.67], dtype=np.float32) / 10.0
+from ..constants import keypoint_sigmas
 
-
-def keypoint_sigmas(num_keypoints: int) -> np.ndarray:
-    """Per-keypoint COCO/CrowdPose falloff sigmas."""
-    if num_keypoints == 17:
-        return _SIGMAS_17
-    if num_keypoints == 14:
-        return _SIGMAS_14
-    if num_keypoints == 3:
-        return _SIGMAS_3
-    raise ValueError(f"Unsupported keypoints number {num_keypoints}")
+__all__ = ["oks", "keypoint_sigmas"]
 
 
 def oks(

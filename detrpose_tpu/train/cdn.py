@@ -21,7 +21,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..ops.oks import keypoint_sigmas
+from ..constants import keypoint_sigmas
 
 
 def _inverse_sigmoid_np(x, eps=1e-3):
