@@ -41,6 +41,14 @@ K = 17
 RES = 160
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
 N_IMG = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+# staged epochs: each is a fresh shuffle + fresh CDN noise (and fresh
+# augmentation draws when AUG). The batches are pre-staged on device and
+# cycled, so more staged epochs = more data diversity per image.
+STAGE_EPOCHS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+# "aug" = train with the reference-style TrainTransforms policy
+# (mosaic/zoom-out/flip/jitter) instead of plain EvalTransforms resize —
+# the generalization configuration.
+AUG = len(sys.argv) > 4 and sys.argv[4] == "aug"
 SAMPLE_EVERY = 250
 # Constant LR until 85% of the run, then x0.1 — from-scratch DETR training
 # needs the decay to settle (recorded: constant-LR 20k-step run plateaued
@@ -52,8 +60,17 @@ img_dir, ann = make_tiny_coco("/tmp/synth_overfit", n_images=N_IMG, w=RES,
 mcfg = model_config("n", dtype=jnp.bfloat16)
 model = build_model(mcfg)
 
-ds = CocoKeypointDataset(img_dir, ann, K, train=True,
-                         transforms=EvalTransforms(out_size=RES))
+if AUG:
+    from detrpose_tpu.data.transforms import TrainTransforms
+
+    # full reference-style policy: mosaic in the first half of the staged
+    # window, zoom-out/flip/jitter throughout
+    tf = TrainTransforms(out_size=RES, num_keypoints=K,
+                         policy_epochs=(0, max(1, STAGE_EPOCHS // 2),
+                                        STAGE_EPOCHS))
+else:
+    tf = EvalTransforms(out_size=RES)
+ds = CocoKeypointDataset(img_dir, ann, K, train=True, transforms=tf)
 loader = KeypointLoader(ds, batch_size=16, num_keypoints=K, train=True,
                         base_size=RES, num_queries=mcfg.num_queries, seed=0)
 
@@ -75,15 +92,15 @@ def _stage(raw):
     return b
 
 
-batches = [_stage(r) for r in loader]
-print(f"{N_IMG} images, {len(batches)} fixed batches of 16")
-# One more pass with a different shuffle + fresh CDN noise realizations, so
-# no image is always seen with the same batchmates/noise (memorization
-# pressure: the first 512-image probe staged each image exactly once).
-if hasattr(loader, "set_epoch"):
-    loader.set_epoch(1)
+batches = []
+for e in range(max(1, STAGE_EPOCHS)):
+    # Each staged epoch is a fresh shuffle + fresh augmentation/CDN draws,
+    # so no image is always seen with the same pixels/batchmates/noise.
+    loader.set_epoch(e)
     batches += [_stage(r) for r in loader]
-    print(f"staged second epoch: {len(batches)} distinct batches total")
+print(f"{N_IMG} images x {max(1, STAGE_EPOCHS)} staged epochs"
+      f" ({'augmented' if AUG else 'unaugmented'})"
+      f" = {len(batches)} distinct batches of 16")
 
 params_shape = jax.eval_shape(lambda: model.init(
     jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=True))["params"]
@@ -152,7 +169,7 @@ if state.ema is not None:
           json.dumps({k: round(v, 4) for k, v in stats_ema.items()}))
 
 # ---- generalization: fresh UNSEEN drawn images from the same distribution
-h_dir, h_ann = make_tiny_coco("/tmp/synth_holdout", n_images=32, w=RES, h=RES,
+h_dir, h_ann = make_tiny_coco("/tmp/synth_holdout", n_images=64, w=RES, h=RES,
                               people=2, seed=123, draw=True, structured=True)
 hds = CocoKeypointDataset(h_dir, h_ann, K, train=False,
                           transforms=EvalTransforms(out_size=RES))
