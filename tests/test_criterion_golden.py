@@ -19,7 +19,6 @@ from detrpose_tpu.train.criterion import criterion as our_criterion
 
 from ref_loader import _ns_pkg, REF
 
-K = 17
 C = 2
 
 
@@ -41,7 +40,13 @@ def _load_ref_criterion():
     return crit, matcher
 
 
-def test_criterion_matches_reference():
+@pytest.mark.parametrize("K", [17, 14])
+def test_criterion_matches_reference(K):
+    """K=17 is the COCO head; K=14 exercises the CrowdPose branch (14-entry
+    OKS sigma table in matcher/criterion, K-parameterized reshapes —
+    reference swaps num_body_points, detrpose_hgnetv2_l_crowdpose.py:41-44).
+    Both values AND input gradients are compared (the matcher assignment is
+    non-differentiable and identical on both sides by construction)."""
     crit_mod, matcher_mod = _load_ref_criterion()
 
     rng = np.random.default_rng(0)
@@ -92,7 +97,9 @@ def test_criterion_matches_reference():
         losses=["vfl", "keypoints"], num_body_points=K)
 
     def tt(x):
-        return torch.from_numpy(np.asarray(x))
+        t = torch.from_numpy(np.asarray(x).copy())
+        t.requires_grad_(True)
+        return t
 
     outputs_t = {
         "pred_logits": tt(levels[-1]["pred_logits"]),
@@ -107,8 +114,7 @@ def test_criterion_matches_reference():
         "aux_interm_outputs": [{"pred_logits": tt(interm["pred_logits"]),
                                 "pred_keypoints": tt(interm["pred_keypoints"])}],
     }
-    with torch.no_grad():
-        ref_losses = ref_crit(outputs_t, t_torch)
+    ref_losses = ref_crit(outputs_t, t_torch)
 
     # ---- ours (scipy matcher backend for exact assignment parity)
     outputs_j = {
@@ -136,3 +142,41 @@ def test_criterion_matches_reference():
         our_v = float(our_losses[k])
         assert ref_v == pytest.approx(our_v, rel=1e-3, abs=1e-4), (
             f"{k}: ref {ref_v} vs ours {our_v}")
+
+    # gradients of the sum over common terms, both sides
+    total_t = sum(ref_losses[k] for k in common)
+    total_t.backward()
+
+    def total_loss(ov):
+        losses = our_criterion(ov, targets_j, K, C, matcher_backend="scipy")
+        return sum(losses[k].astype(jnp.float32) for k in common)
+
+    total_j, d_out_j = jax.value_and_grad(total_loss)(outputs_j)
+    assert float(total_t) == pytest.approx(float(total_j), rel=1e-3)
+
+    # gradient parity on every prediction input (mirrored structure, no
+    # reliance on pytree leaf order)
+    def cmp(name, t_tensor, j_grad):
+        g_t = (t_tensor.grad.detach().numpy() if t_tensor.grad is not None
+               else np.zeros(tuple(t_tensor.shape), np.float32))
+        g_j = np.asarray(j_grad, np.float32)
+        denom = max(np.abs(g_t).max(), 1e-6)
+        np.testing.assert_allclose(
+            g_j, g_t, rtol=0, atol=2e-4 * denom, err_msg=f"grad {name}")
+
+    cmp("pred_logits", outputs_t["pred_logits"], d_out_j["pred_logits"])
+    cmp("pred_keypoints", outputs_t["pred_keypoints"],
+        d_out_j["pred_keypoints"])
+    for i in range(L - 1):
+        cmp(f"aux{i}.logits", outputs_t["aux_outputs"][i]["pred_logits"],
+            d_out_j["aux_outputs"][i]["pred_logits"])
+        cmp(f"aux{i}.kpts", outputs_t["aux_outputs"][i]["pred_keypoints"],
+            d_out_j["aux_outputs"][i]["pred_keypoints"])
+    cmp("pre.logits", outputs_t["aux_pre_outputs"]["pred_logits"],
+        d_out_j["aux_pre_outputs"]["pred_logits"])
+    cmp("pre.kpts", outputs_t["aux_pre_outputs"]["pred_keypoints"],
+        d_out_j["aux_pre_outputs"]["pred_keypoints"])
+    cmp("interm.logits", outputs_t["aux_interm_outputs"][0]["pred_logits"],
+        d_out_j["aux_interm_outputs"][0]["pred_logits"])
+    cmp("interm.kpts", outputs_t["aux_interm_outputs"][0]["pred_keypoints"],
+        d_out_j["aux_interm_outputs"][0]["pred_keypoints"])

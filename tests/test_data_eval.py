@@ -1,6 +1,7 @@
 """Tests for the self-contained keypoint evaluator and the data pipeline."""
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -185,6 +186,35 @@ def test_loader_worker_pool(tiny_coco):
         assert a["images"].shape == c["images"].shape
         np.testing.assert_array_equal(a["image_ids"], c["image_ids"])
         assert set(a["targets"]) == set(c["targets"])
+
+
+def test_loader_worker_pool_lifecycle(tiny_coco):
+    """Pool dispatch is semaphore-gated (bounded decoded-but-unconsumed
+    items); the gate must not deadlock teardown on early exit, and the
+    loader must be re-iterable afterwards. A worker that never produces
+    raises an actionable error instead of hanging (worker_timeout)."""
+    img_dir, ann_file = tiny_coco
+    ds = CocoKeypointDataset(
+        img_dir, ann_file, K, train=True,
+        transforms=TrainTransforms(out_size=160, policy_epochs=(0, 2, 4)))
+    loader = KeypointLoader(ds, batch_size=2, num_keypoints=K, train=True,
+                            max_gt=8, base_size=160, num_workers=2)
+    loader.set_epoch(1)
+    # early exit mid-epoch: generator close must tear the pool down promptly
+    it = iter(loader)
+    first = next(it)
+    assert first["images"].shape[0] == 2
+    t0 = time.time()
+    it.close()
+    assert time.time() - t0 < 30.0, "pool teardown hung on early exit"
+    # the same loader iterates fully again (fresh pool per epoch)
+    loader.set_epoch(2)
+    assert len(list(loader)) == 3
+    # a stalled worker stream errors out instead of blocking forever
+    loader.worker_timeout = 0.0
+    loader.set_epoch(3)
+    with pytest.raises(RuntimeError, match="__main__"):
+        list(loader)
 
 
 def test_eval_loader_roundtrip(tiny_coco):
