@@ -170,6 +170,15 @@ def main():
     dt_srv = time.time() - t0
     srv_ips = batch * iters / dt_srv
 
+    # standalone H2D bandwidth so the serving number carries its explanation:
+    # this sandbox reaches the chip through an HTTP tunnel whose bandwidth
+    # swings ~25x day to day (measured 24.5 -> 658 ms/batch for the same
+    # 37.7 MB transfer); on a PCIe-attached host this leg is compute-bound.
+    t0 = time.time()
+    h2d = [jax.device_put(xs_u8[i % 8], dev) for i in range(4)]
+    jax.block_until_ready(h2d)
+    h2d_mbps = 4 * xs_u8[0].nbytes / (time.time() - t0) / 1e6
+
     print(json.dumps({
         "metric": f"detrpose_{size}_bs{batch}_{res}px_images_per_sec_per_chip",
         "value": round(ips, 2),
@@ -177,6 +186,7 @@ def main():
         "vs_baseline": round(ips / trt_ips, 3),
         "serving_ips_host_to_device": round(srv_ips, 2),
         "serving_vs_baseline": round(srv_ips / trt_ips, 3),
+        "h2d_tunnel_mbps": round(h2d_mbps, 1),
         # environment-honest accounting: the ratio above is relative to the
         # reference's V100-TRT number and is a property of THIS device.
         "device_kind": device_kind,
