@@ -59,7 +59,9 @@ def _load_item(idx):
     img, t = ds[idx]
     # Ship uint8 back through the pipe when the pipeline kept pixels uint8
     # (PIL path): 4x less IPC than float32; the parent dequantizes once per
-    # batch. A float-producing pipeline passes through untouched.
+    # batch. A float-producing pipeline is assumed to carry 0-255 pixel values
+    # (the same contract as the in-process path, _iter_batches' else branch)
+    # and is normalized to [0, 1] here.
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         arr = np.asarray(img, np.float32) / 255.0
@@ -148,9 +150,12 @@ class KeypointLoader:
             order = shard_indices(order, self.process_index, self.process_count)
 
         pool = item_iter = None
-        if self.num_workers > 0:
-            if self.drop_last:  # only feed whole batches to the pool
-                order = order[: (len(order) // self.bs) * self.bs]
+        if self.num_workers > 0 and self.drop_last:
+            # only feed whole batches to the pool (may leave order empty when
+            # the shard is smaller than one batch — then no pool is spun up
+            # and the epoch is simply empty)
+            order = order[: (len(order) // self.bs) * self.bs]
+        if self.num_workers > 0 and order:
             # forkserver, not fork: the parent is multithreaded by the time
             # an epoch starts (JAX/XLA runtime threads, the Prefetcher's
             # worker thread calls this __iter__), and fork() from a threaded
@@ -301,24 +306,55 @@ class Prefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
         err = []
+        stop = threading.Event()
+        inner = iter(self.loader)
+
+        def _put(item) -> bool:
+            # Blocking put that wakes on consumer abandonment, so the worker
+            # thread never parks forever in q.put when the consumer breaks
+            # out mid-epoch (that parked thread used to pin the loader
+            # generator open, leaking the per-epoch worker-process pool).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
-                for b in self.loader:
-                    q.put(b)
+                while not stop.is_set():
+                    try:
+                        b = next(inner)
+                    except StopIteration:
+                        break
+                    if not _put(b):
+                        break
             except BaseException as e:  # surface loader errors in the consumer
                 err.append(e)
             finally:
-                q.put(_END)
+                try:
+                    # run the loader generator's finally (worker-pool
+                    # teardown) no matter how this epoch ends
+                    inner.close()
+                except Exception:
+                    pass
+                _put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is _END:
-                break
-            yield b
-        t.join()
+        try:
+            while True:
+                b = q.get()
+                if b is _END:
+                    break
+                yield b
+        finally:
+            # normal end, consumer break/exception, or generator close: stop
+            # the worker (unblocks any parked _put) and wait for pool teardown
+            stop.set()
+            t.join()
         if err:
             raise err[0]
 

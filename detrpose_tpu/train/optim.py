@@ -67,6 +67,24 @@ def make_optimizer(
     sched_main = multistep_schedule(base_lr, milestones, gamma, warmup_steps)
     sched_bb = multistep_schedule(backbone_lr, milestones, gamma, warmup_steps)
 
+    def _stage_index(key: str):
+        """Backbone sub-module -> stem (-1) / stage index, across both
+        backbone families: HGNetv2 names `stem` + `stages_{i}`
+        (models/hgnetv2.py), ResNet names `conv1`/`bn1` (stem) +
+        `layer{i+1}_{block}` (models/resnet.py)."""
+        if key in ("stem", "conv1", "bn1"):
+            return -1
+        if key.startswith("stages_"):
+            return int(key.split("_")[1])
+        if key.startswith("layer"):
+            return int(key[len("layer"):].split("_")[0]) - 1
+        return None
+
+    def _is_bn(key: str) -> bool:
+        # HGNetv2 BN modules are named exactly "bn"; ResNet uses bn1/bn2/bn3
+        # and downsample_bn.
+        return key == "bn" or key.startswith("bn") or key.endswith("_bn")
+
     def label_fn(tree):
         def label(path, _):
             keys = [getattr(p, "key", "") for p in path]
@@ -74,16 +92,17 @@ def make_optimizer(
                 if freeze_backbone:
                     return "frozen"
                 if freeze_at >= 0:
-                    if keys[1] == "stem":
+                    stage = next((s for k in keys[1:]
+                                  if (s := _stage_index(k)) is not None), None)
+                    if stage == -1:
                         return "frozen"
-                    if not freeze_stem_only:
-                        for i in range(freeze_at + 1):
-                            if keys[1] == f"stages_{i}":
-                                return "frozen"
-                # FrozenBatchNorm semantics (reference hgnetv2.py:24-60,
-                # freeze_norm=True in all shipped configs): BN affine params
-                # in the backbone receive no updates.
-                if freeze_backbone_norm and "bn" in keys:
+                    if not freeze_stem_only and stage is not None \
+                            and stage <= freeze_at:
+                        return "frozen"
+                # FrozenBatchNorm semantics (reference hgnetv2.py:24-60 and
+                # resnet.py FrozenBatchNorm2d, freeze_norm=True in all shipped
+                # configs): BN affine params in the backbone get no updates.
+                if freeze_backbone_norm and any(_is_bn(k) for k in keys):
                     return "frozen"
                 return "backbone"
             return "main"

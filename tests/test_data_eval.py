@@ -9,7 +9,7 @@ from PIL import Image
 
 from detrpose_tpu.data.evaluator import KeypointEvaluator, compute_oks
 from detrpose_tpu.data.coco import CocoKeypointDataset, normalize_target, pad_targets
-from detrpose_tpu.data.loader import KeypointLoader, generate_scales
+from detrpose_tpu.data.loader import KeypointLoader, Prefetcher, generate_scales
 from detrpose_tpu.data.transforms import hflip, resize, TrainTransforms, EvalTransforms
 from detrpose_tpu.ops.oks import keypoint_sigmas
 
@@ -215,6 +215,49 @@ def test_loader_worker_pool_lifecycle(tiny_coco):
     loader.set_epoch(3)
     with pytest.raises(RuntimeError, match="__main__"):
         list(loader)
+
+
+def test_loader_worker_pool_small_shard(tiny_coco):
+    """A shard smaller than one batch with drop_last yields an empty epoch —
+    no pool is spun up and teardown must not crash (the finally path used to
+    call Semaphore.release(0), a ValueError)."""
+    img_dir, ann_file = tiny_coco
+    ds = CocoKeypointDataset(
+        img_dir, ann_file, K, train=True,
+        transforms=TrainTransforms(out_size=160, policy_epochs=(0, 2, 4)))
+    loader = KeypointLoader(ds, batch_size=len(ds) + 2, num_keypoints=K,
+                            train=True, max_gt=8, base_size=160,
+                            num_workers=2)
+    loader.set_epoch(1)
+    assert list(loader) == []
+
+
+def test_prefetcher_abandon_tears_down_pool(tiny_coco):
+    """Abandoning a Prefetcher-wrapped worker loader mid-epoch must close the
+    inner loader generator (worker-pool teardown) and end the prefetch
+    thread — not leave the thread parked in q.put pinning the pool open."""
+    import threading
+
+    img_dir, ann_file = tiny_coco
+    ds = CocoKeypointDataset(
+        img_dir, ann_file, K, train=True,
+        transforms=TrainTransforms(out_size=160, policy_epochs=(0, 2, 4)))
+    loader = KeypointLoader(ds, batch_size=2, num_keypoints=K, train=True,
+                            max_gt=8, base_size=160, num_workers=2)
+    loader.set_epoch(1)
+    base_threads = threading.active_count()
+    pf = Prefetcher(loader, depth=1)
+    it = iter(pf)
+    first = next(it)
+    assert first["images"].shape[0] == 2
+    t0 = time.time()
+    it.close()  # consumer abandons mid-epoch
+    assert time.time() - t0 < 30.0, "Prefetcher close hung"
+    deadline = time.time() + 10.0
+    while threading.active_count() > base_threads and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= base_threads, \
+        "prefetch thread leaked after consumer abandonment"
 
 
 def test_eval_loader_roundtrip(tiny_coco):

@@ -65,3 +65,39 @@ def test_freeze_whole_backbone():
     m = _moved(_params(), freeze_backbone=True)
     assert not any(v for k, v in m.items() if k.startswith("backbone/"))
     assert m["encoder/proj/kernel"]
+
+
+def _resnet_params():
+    """ResNet naming (models/resnet.py): conv1/bn1 stem, layer{i+1}_{b}
+    stages with inner conv1/bn1..bn3/downsample_bn."""
+    leaf = lambda: jnp.ones((3,))
+    return {
+        "backbone": {
+            "conv1": {"kernel": leaf()},
+            "bn1": {"scale": leaf()},
+            "layer1_0": {"conv1": {"kernel": leaf()},
+                         "bn1": {"scale": leaf()},
+                         "downsample_bn": {"scale": leaf()}},
+            "layer2_0": {"conv1": {"kernel": leaf()}},
+        },
+        "encoder": {"proj": {"kernel": leaf()}},
+    }
+
+
+def test_resnet_default_bn_frozen():
+    # FrozenBatchNorm2d semantics apply to the ResNet backbone too
+    # (reference resnet.py:79 builds with FrozenBatchNorm2d throughout)
+    m = _moved(_resnet_params())
+    assert not m["backbone/bn1/scale"]
+    assert not m["backbone/layer1_0/bn1/scale"]
+    assert not m["backbone/layer1_0/downsample_bn/scale"]
+    assert m["backbone/conv1/kernel"]
+    assert m["backbone/layer1_0/conv1/kernel"]
+    assert m["encoder/proj/kernel"]
+
+
+def test_resnet_freeze_at_maps_layers():
+    m = _moved(_resnet_params(), freeze_at=0, freeze_stem_only=False)
+    assert not m["backbone/conv1/kernel"]          # stem
+    assert not m["backbone/layer1_0/conv1/kernel"]  # stage 0 (layer1)
+    assert m["backbone/layer2_0/conv1/kernel"]      # stage 1 stays live

@@ -127,14 +127,20 @@ assert all(np.isfinite(v) for _, v in curve)
 # ---- AP on the same (train==val) set, regular weights then EMA
 vds = CocoKeypointDataset(img_dir, ann, K, train=False,
                           transforms=EvalTransforms(out_size=RES))
-val_gts = {
-    i: {"anns": [
-        {"keypoints": np.asarray(a["keypoints"], np.float64).reshape(K, 3),
-         "area": a["area"], "bbox": a["bbox"], "iscrowd": 0,
-         "num_keypoints": K}
-        for a in vds.anns_by_img.get(i, [])]}
-    for i in vds.ids
-}
+
+
+def build_gts(ds):
+    return {
+        i: {"anns": [
+            {"keypoints": np.asarray(a["keypoints"], np.float64).reshape(K, 3),
+             "area": a["area"], "bbox": a["bbox"], "iscrowd": 0,
+             "num_keypoints": K}
+            for a in ds.anns_by_img.get(i, [])]}
+        for i in ds.ids
+    }
+
+
+val_gts = build_gts(vds)
 vloader = KeypointLoader(vds, batch_size=16, num_keypoints=K, train=False,
                          with_cdn=False, drop_last=False)
 
@@ -145,11 +151,11 @@ def eval_fn(v, img, ts):
                        num_body_points=K)
 
 
-def run_eval(params, stats=None):
-    ev = KeypointEvaluator(val_gts, K)
+def run_eval(params, gts, loader, stats=None):
+    ev = KeypointEvaluator(gts, K)
     variables = {"params": params,
                  "batch_stats": state.batch_stats if stats is None else stats}
-    for b in vloader:
+    for b in loader:
         scores, labels, kpts = eval_fn(variables,
                                        jnp.asarray(b["images"], jnp.float32),
                                        jnp.asarray(b["orig_sizes"], jnp.float32))
@@ -161,10 +167,11 @@ def run_eval(params, stats=None):
     return ev.summarize()
 
 
-stats = run_eval(state.params)
+stats = run_eval(state.params, val_gts, vloader)
 print("AP (regular):", json.dumps({k: round(v, 4) for k, v in stats.items()}))
 if state.ema is not None:
-    stats_ema = run_eval(state.ema["params"], state.ema.get("batch_stats"))
+    stats_ema = run_eval(state.ema["params"], val_gts, vloader,
+                         state.ema.get("batch_stats"))
     print("AP (ema):    ",
           json.dumps({k: round(v, 4) for k, v in stats_ema.items()}))
 
@@ -173,40 +180,17 @@ h_dir, h_ann = make_tiny_coco("/tmp/synth_holdout", n_images=64, w=RES, h=RES,
                               people=2, seed=123, draw=True, structured=True)
 hds = CocoKeypointDataset(h_dir, h_ann, K, train=False,
                           transforms=EvalTransforms(out_size=RES))
-h_gts = {
-    i: {"anns": [
-        {"keypoints": np.asarray(a["keypoints"], np.float64).reshape(K, 3),
-         "area": a["area"], "bbox": a["bbox"], "iscrowd": 0,
-         "num_keypoints": K}
-        for a in hds.anns_by_img.get(i, [])]}
-    for i in hds.ids
-}
+h_gts = build_gts(hds)
 hloader = KeypointLoader(hds, batch_size=8, num_keypoints=K, train=False,
                          with_cdn=False, drop_last=False)
 
-
-def run_eval_holdout(params, stats_=None):
-    ev = KeypointEvaluator(h_gts, K)
-    variables = {"params": params,
-                 "batch_stats": state.batch_stats if stats_ is None else stats_}
-    for b in hloader:
-        scores, labels, kpts = eval_fn(variables,
-                                       jnp.asarray(b["images"], jnp.float32),
-                                       jnp.asarray(b["orig_sizes"], jnp.float32))
-        jax.block_until_ready(scores)
-        scores, kpts = np.asarray(scores), np.asarray(kpts)
-        for j, img_id in enumerate(b["image_ids"]):
-            ev.update(int(img_id), scores[j], kpts[j])
-    ev.accumulate()
-    return ev.summarize()
-
-
-h_stats = run_eval_holdout(state.params)
+h_stats = run_eval(state.params, h_gts, hloader)
 print("AP (held-out, regular):",
       json.dumps({k: round(v, 4) for k, v in h_stats.items()}))
 best_train, best_hold = stats, h_stats
 if state.ema is not None:
-    h_ema = run_eval_holdout(state.ema["params"], state.ema.get("batch_stats"))
+    h_ema = run_eval(state.ema["params"], h_gts, hloader,
+                     state.ema.get("batch_stats"))
     print("AP (held-out, ema):    ",
           json.dumps({k: round(v, 4) for k, v in h_ema.items()}))
     if stats_ema["AP"] > best_train["AP"]:
