@@ -10,6 +10,10 @@ import jax.numpy as jnp
 from detrpose_tpu.configs import model_config, build_model
 
 
+# Full-model compiles (~15-90 s each on the CPU test runner) — slow tier.
+# Fast-tier coverage of every experimental branch's *semantics* lives in
+# tests/test_msda_branch_golden.py (op-level goldens vs the live reference).
+@pytest.mark.slow
 @pytest.mark.parametrize("flags", [
     {"use_modulation": True},
     {"use_region_sampling": True, "region_kernel_size": 3},
@@ -61,6 +65,7 @@ def test_modulation_matches_reference_core_semantics():
     np.testing.assert_allclose(ours, t_out.numpy(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("flags", [
     {"use_grouped_offsets": True, "num_groups": 2},
     {"use_grid_attention": True, "grid_num_points": 4},
