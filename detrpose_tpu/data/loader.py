@@ -85,7 +85,6 @@ class KeypointLoader:
         multiscale_stop_epoch: int = 48,
         with_cdn: bool = True,
         num_queries: int = 60,
-        num_classes: int = 2,
         seed: int = 0,
         drop_last: bool = True,
         mixup_prob: float = 0.0,
@@ -109,7 +108,10 @@ class KeypointLoader:
         self.multiscale_stop_epoch = multiscale_stop_epoch
         self.with_cdn = with_cdn and train
         self.num_queries = num_queries
-        self.cdn_cfg = CDNConfig(num_classes=num_classes)
+        # CDN label flips are independent of the model's head classes — the
+        # reference hard-codes num_classes=80 in prepare_for_cdn
+        # (transformer.py:1271); CDNConfig carries the fidelity default.
+        self.cdn_cfg = CDNConfig()
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last

@@ -33,7 +33,14 @@ def _inverse_sigmoid_np(x, eps=1e-3):
 class CDNConfig:
     dn_number: int = 20          # reference dn_args=(targets, 20, 0.5)
     label_noise_ratio: float = 0.5
-    num_classes: int = 2         # include/detrpose_hgnetv2.py:27 (label_enc size)
+    # Label-noise flips draw uniformly from [0, label_flip_range). The
+    # reference hard-codes num_classes=80 in its prepare_for_cdn call
+    # (transformer.py:1271) even though the classification head has 2 classes,
+    # and label_enc is an 81-row embedding (transformer.py:1057) — so most
+    # flipped DN queries land on one of 78 otherwise-untrained embedding rows.
+    # Intentional or not, the zoo checkpoints were trained with this
+    # distribution, so 80 is the fidelity default.
+    label_flip_range: int = 80
     pad_cap: int = 64            # static DN slot capacity
     match_cap: int = 32          # static positive-match capacity
 
@@ -155,8 +162,10 @@ def build_cdn(
 
                 lab_n = lab.copy()
                 if cfg.label_noise_ratio > 0:
+                    # dn_component.py:84-87: flip 25% of DN labels uniformly
+                    # into [0, 80) — see CDNConfig.label_flip_range.
                     flip = rng.random(n) < cfg.label_noise_ratio * 0.5
-                    lab_n[flip] = rng.integers(0, cfg.num_classes, flip.sum())
+                    lab_n[flip] = rng.integers(0, cfg.label_flip_range, flip.sum())
 
                 base = g * 2 * single_pad + sign * single_pad
                 out_labels[b, base:base + n] = lab_n

@@ -145,18 +145,106 @@ def test_cdn_direction_normalization_matches_torch():
     assert norms.mean() > 10.0
 
 
-def test_cdn_label_noise_stays_in_num_classes():
-    """Noised labels must index within label_enc (num_classes=2,
-    include/detrpose_hgnetv2.py:27); out-of-range ids would be silently
-    clamped by jnp's gather into the wrong embedding row."""
+def test_cdn_label_flip_range_is_reference_80():
+    """Label-noise flips draw from [0, 80) — the reference hard-codes
+    num_classes=80 into prepare_for_cdn (transformer.py:1271) and indexes an
+    81-row label_enc (transformer.py:1057), regardless of the 2-class head.
+    Most flipped DN queries therefore hit otherwise-untrained embedding rows;
+    the zoo checkpoints were trained with that distribution."""
     rng = np.random.default_rng(11)
     B, G, K, nq = 4, 8, 17, 60
-    tgts = _rand_targets(rng, B, G, K)
-    dn = build_cdn(tgts, nq, K, (640, 640), rng, CDNConfig(num_classes=2))
-    assert dn is not None
-    assert dn["labels"].max() < 2
-    # with enough draws the 0.25 flip rate must actually produce some 1s
-    assert (dn["labels"][dn["slot_used"]] == 1).any()
+    flipped = []
+    for seed in range(8):
+        tgts = _rand_targets(np.random.default_rng(seed), B, G, K)
+        dn = build_cdn(tgts, nq, K, (640, 640), rng, CDNConfig())
+        assert dn is not None
+        lab = dn["labels"][dn["slot_used"]]
+        assert lab.min() >= 0 and lab.max() < 80
+        flipped.extend(lab[lab != 0].tolist())  # GT labels are all 0
+    flipped = np.asarray(flipped)
+    # uniform draws over [0,80) must cover the range broadly
+    assert flipped.max() >= 60
+    assert len(np.unique(flipped)) >= 30
+    assert dn["labels"].shape[1] == CDNConfig().pad_cap
+
+
+def test_cdn_label_flip_golden_vs_live_reference(monkeypatch):
+    """Drive the LIVE reference prepare_for_cdn (dn_component.py:39-183) and
+    assert the flipped-label distribution matches ours.
+
+    label_enc is set to the 81×81 identity so the noised class ids can be
+    read back from the embedded DN queries by argmax; pose_enc is zeroed so
+    only the instance slot carries the one-hot. GT labels are all 0 (the
+    dataset's only class), so any nonzero recovered id is a label-noise flip.
+    """
+    import torch
+
+    from tests.ref_loader import load_reference
+
+    load_reference()  # installs the refsrc namespace packages
+    import importlib as _il
+    ref = _il.import_module("refsrc.models.detrpose.dn_component")
+
+    # the reference hard-codes .cuda() on helper tensors; keep them on CPU
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    B, G, K, nq = 4, 8, 17, 60
+    hd = 81
+    label_enc = torch.nn.Embedding(81, hd)
+    with torch.no_grad():
+        label_enc.weight.copy_(torch.eye(81))
+    pose_enc = torch.nn.Embedding(K, hd)
+    with torch.no_grad():
+        pose_enc.weight.zero_()
+
+    def ref_flips(seed):
+        torch.manual_seed(seed)
+        tg = _rand_targets(np.random.default_rng(seed), B, G, K)
+        targets = [
+            {"labels": torch.from_numpy(tg["labels"][b]).long(),
+             "boxes": torch.from_numpy(tg["boxes"][b]),
+             "keypoints": torch.from_numpy(tg["keypoints"][b]),
+             "area": torch.from_numpy(tg["area"][b])}
+            for b in range(B)
+        ]
+        iql, _, _, _ = ref.prepare_for_cdn(
+            dn_args=(targets, 20, 0.5), training=True, num_queries=nq,
+            num_classes=80, num_keypoints=K, hidden_dim=hd,
+            label_enc=label_enc, pose_enc=pose_enc, img_dim=(640, 640),
+            device="cpu")
+        inst = iql[:, :, 0, :]                        # (B, pad, 81) one-hots
+        used = inst.abs().sum(-1) > 0.5
+        labels = inst.argmax(-1)[used].numpy()
+        assert labels.max() < 80                       # never row 80
+        return labels[labels != 0]
+
+    def our_flips(seed):
+        rng = np.random.default_rng(1000 + seed)
+        tg = _rand_targets(np.random.default_rng(seed), B, G, K)
+        dn = build_cdn(tg, nq, K, (640, 640), rng, CDNConfig())
+        lab = dn["labels"][dn["slot_used"]]
+        return lab[lab != 0]
+
+    nseeds = 30
+    rflips = np.concatenate([ref_flips(s) for s in range(nseeds)])
+    oflips = np.concatenate([our_flips(s) for s in range(nseeds)])
+
+    # Both draw ~25% flips uniform over [0,80); a flip landing on the true
+    # label 0 is invisible, so expected visible rate = 0.25 * 79/80.
+    total = nseeds * B * G * 4  # 2 groups × (pos+neg) per GT per call
+    exp = 0.25 * 79 / 80
+    for flips in (rflips, oflips):
+        rate = len(flips) / total
+        assert abs(rate - exp) < 0.05, rate
+        assert flips.min() >= 1 and flips.max() < 80
+        assert len(np.unique(flips)) >= 80 * 0.7
+    # coarse uniformity: each of 8 bins of [0,80) within 3.5σ of expectation
+    # on both sides (binomial σ with p=1/8 per visible flip)
+    for flips in (rflips, oflips):
+        hist = np.histogram(flips, bins=8, range=(0, 80))[0]
+        n = len(flips)
+        sigma = np.sqrt(n * (1 / 8) * (7 / 8))
+        assert (np.abs(hist - n / 8) < 3.5 * sigma + 3).all(), hist
 
 
 def test_criterion_smoke_finite():

@@ -89,7 +89,6 @@ def main():
             base_size_repeat=tp.get("base_size_repeat"),
             multiscale_stop_epoch=tp.get("multiscale_stop_epoch", 48),
             num_queries=mcfg.num_queries,
-            num_classes=mcfg.num_classes,
             process_index=pidx, process_count=pcount,
             # reference: DataLoader(num_workers=4), include/dataset.py:48
             num_workers=tp.get("num_workers", 4)))
