@@ -97,8 +97,13 @@ def optax_sigmoid_bce(logits, labels):
 
 
 def loss_labels(outputs, targets, assign_q, num_boxes, K, num_classes=2,
-                focal_alpha=0.25, gamma=2.0):
-    """Plain sigmoid focal loss (criterion.py:38-56, utils.py:47-73)."""
+                focal_alpha=0.25, gamma=2.0, query_mask=None):
+    """Plain sigmoid focal loss (criterion.py:38-56, utils.py:47-73).
+
+    Reference normalization is loss.mean(1).sum()/num_boxes * nq — the nq
+    cancels, so the elementwise sum keeps parity even when our static DN
+    capacity (pad_cap) exceeds the reference's dynamic pad_size, as long as
+    ``query_mask`` zeroes the inert slots."""
     logits = outputs["pred_logits"].astype(jnp.float32)
     B, nq, C = logits.shape
     tcls = _scatter_to_queries(assign_q, targets["valid"], targets["labels"], nq,
@@ -110,11 +115,13 @@ def loss_labels(outputs, targets, assign_q, num_boxes, K, num_classes=2,
     loss = ce * (1 - p_t) ** gamma
     alpha_t = focal_alpha * target + (1 - focal_alpha) * (1 - target)
     loss = alpha_t * loss
-    return {"loss_ce": loss.mean(axis=1).sum() / num_boxes * nq}
+    if query_mask is not None:
+        loss = loss * query_mask[None, :, None]
+    return {"loss_ce": loss.sum() / num_boxes}
 
 
 def loss_mal(outputs, targets, assign_q, num_boxes, K, num_classes=2,
-             mal_alpha=None, gamma=2.0):
+             mal_alpha=None, gamma=2.0, query_mask=None):
     """Matching-aware loss variant (criterion.py:95-135)."""
     logits = outputs["pred_logits"].astype(jnp.float32)
     B, nq, C = logits.shape
@@ -136,13 +143,23 @@ def loss_mal(outputs, targets, assign_q, num_boxes, K, num_classes=2,
         weight = mal_alpha * pred_score**gamma * (1 - target) + target
     else:
         weight = pred_score**gamma * (1 - target) + target
-    bce = optax_sigmoid_bce(logits, target_score)
-    return {"loss_mal": (bce * weight).mean(axis=1).sum() * nq / num_boxes}
+    l = optax_sigmoid_bce(logits, target_score) * weight
+    if query_mask is not None:
+        l = l * query_mask[None, :, None]
+    # reference: loss.mean(1).sum() * nq / num_boxes == loss.sum() / num_boxes
+    return {"loss_mal": l.sum() / num_boxes}
 
 
-def loss_local(outputs, targets, go_g, go_valid, K, T=5.0):
+def loss_local(outputs, targets, go_g, go_valid, K, T=5.0,
+               num_pos_neg=None, query_mask=None):
     """FGL/DDF distillation of FDR corner distributions against the final
-    layer's (teacher) distributions (criterion.py:137-198)."""
+    layer's (teacher) distributions (criterion.py:137-198).
+
+    ``num_pos_neg``: the reference caches self.num_pos/num_neg from the last
+    non-DN branch (criterion.py:185-192 gate on "is_dn") and reuses them for
+    the DN branches — pass the real-branch values there. ``query_mask`` (nq,)
+    excludes inert static-capacity DN slots from both the positive/negative
+    means and the counts (the reference has exactly pad_size slots)."""
     if "pred_corners" not in outputs or "teacher_corners" not in outputs:
         return {}
     pred = outputs["pred_corners"].astype(jnp.float32)     # (B, nq, K, 2*(R+1))
@@ -169,12 +186,20 @@ def loss_local(outputs, targets, go_g, go_valid, K, T=5.0):
     kl = (q * (jnp.log(q + 1e-12) - logp)).sum(-1)         # (B, nq, 2K)
     kl = kl * (T**2) * w
 
-    mask = jnp.broadcast_to(go_valid[..., None], kl.shape)
-    batch_scale = 8.0 / B
-    num_pos = jnp.sqrt(mask.sum() * batch_scale)
-    num_neg = jnp.sqrt((~mask).sum() * batch_scale)
-    l_pos = jnp.where(mask, kl, 0.0).sum() / jnp.clip(mask.sum(), 1)
-    l_neg = jnp.where(~mask, kl, 0.0).sum() / jnp.clip((~mask).sum(), 1)
+    pos = jnp.broadcast_to(go_valid[..., None], kl.shape)
+    neg = ~pos
+    if query_mask is not None:
+        act = jnp.broadcast_to(query_mask[None, :, None], kl.shape)
+        pos = pos & act
+        neg = neg & act
+    if num_pos_neg is None:
+        batch_scale = 8.0 / B
+        num_pos = jnp.sqrt(pos.sum() * batch_scale)
+        num_neg = jnp.sqrt(neg.sum() * batch_scale)
+    else:
+        num_pos, num_neg = num_pos_neg
+    l_pos = jnp.where(pos, kl, 0.0).sum() / jnp.clip(pos.sum(), 1)
+    l_neg = jnp.where(neg, kl, 0.0).sum() / jnp.clip(neg.sum(), 1)
     return {"loss_dfl": (l_pos * num_pos + l_neg * num_neg) / (num_pos + num_neg + 1e-12)}
 
 
@@ -300,8 +325,18 @@ def criterion(
             for m, sfx in enumerate(suffixes):
                 out_losses[k + sfx] = v[m] * wd[k]
 
-    # FGL/DDF distillation needs FDR corners (final + aux branches only).
+    # FGL/DDF distillation needs FDR corners (final + aux branches only; the
+    # final output lacks teacher_corners so loss_local returns {} there, like
+    # the reference's `"teacher_corners" in outputs` gate).
+    real_num_pos_neg = None
     if "local" in losses:
+        # the reference caches num_pos/num_neg from the real branches' go-mask
+        # (criterion.py:185-192) and reuses them for DN; compute them once.
+        n_pos_el = go_valid.sum() * (2 * K)
+        n_tot_el = go_valid.size * (2 * K)
+        batch_scale = 8.0 / go_valid.shape[0]
+        real_num_pos_neg = (jnp.sqrt(n_pos_el * batch_scale),
+                            jnp.sqrt((n_tot_el - n_pos_el) * batch_scale))
         for sfx, o in [("", outputs)] + [
                 (f"_{i}", a) for i, a in enumerate(aux_list)]:
             for k, v in loss_local(o, targets, go_g, go_valid, K).items():
@@ -343,10 +378,20 @@ def criterion(
         def per_dn_branch(lg, kp):
             o = {"pred_logits": lg, "pred_keypoints": kp}
             l = {}
-            l.update(loss_vfl(o, dn_targets, dn_q, nb_dn, K, num_classes,
-                              query_mask=dn_active))
-            l.update(loss_keypoints(o, dn_targets, dn_go_g, dn_go_valid,
-                                    nb_dn_go, K))
+            if "vfl" in losses:
+                l.update(loss_vfl(o, dn_targets, dn_q, nb_dn, K, num_classes,
+                                  query_mask=dn_active))
+            if "labels" in losses:
+                l.update(loss_labels(o, dn_targets, dn_q, nb_dn, K,
+                                     num_classes, query_mask=dn_active))
+            if "mal" in losses:
+                l.update(loss_mal(o, dn_targets, dn_q, nb_dn, K, num_classes,
+                                  query_mask=dn_active))
+            if "keypoints" in losses:
+                # reference normalizes DN keypoints by num_boxes*scalar
+                # (criterion.py:412-414), identical to nb_dn
+                l.update(loss_keypoints(o, dn_targets, dn_go_g, dn_go_valid,
+                                        nb_dn_go, K))
             return l
 
         dn_stacked = jax.vmap(per_dn_branch)(dn_lg, dn_kp)
@@ -354,5 +399,16 @@ def criterion(
             if k in wd:
                 for m, sfx in enumerate(dn_suffixes):
                     out_losses[k + sfx] = v[m] * wd[k]
+
+        # DN distillation branches: DN indices for mask/OKS, but the cached
+        # num_pos/num_neg from the REAL branches (reference "is_dn" gate).
+        if "local" in losses:
+            for m, (sfx, o) in enumerate(zip(dn_suffixes, dn_branches)):
+                for k, v in loss_local(
+                        o, dn_targets, dn_go_g, dn_go_valid, K,
+                        num_pos_neg=real_num_pos_neg,
+                        query_mask=dn_active).items():
+                    if k in wd:
+                        out_losses[k + sfx] = v * wd[k]
 
     return out_losses
