@@ -354,9 +354,23 @@ class Prefetcher:
                 yield b
         finally:
             # normal end, consumer break/exception, or generator close: stop
-            # the worker (unblocks any parked _put) and wait for pool teardown
+            # the worker (unblocks any parked _put) and wait for pool teardown.
+            # The join is bounded: a hung pool worker keeps item_iter.next()
+            # parked for up to worker_timeout, and generator close must not
+            # block that long (round-3 advice finding).
             stop.set()
-            t.join()
+            t.join(getattr(self.loader, "worker_timeout", 300.0) + 10.0)
+            import logging
+            import sys
+            if t.is_alive():
+                logging.getLogger(__name__).warning(
+                    "Prefetcher worker did not stop within the join bound; "
+                    "abandoning it (daemon thread).")
+            if err and sys.exc_info()[0] is GeneratorExit:
+                # consumer closed the generator: the raise below never runs,
+                # so the captured loader error would be silently dropped
+                logging.getLogger(__name__).warning(
+                    "Prefetcher loader error dropped on close: %r", err[0])
         if err:
             raise err[0]
 

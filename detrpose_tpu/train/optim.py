@@ -38,6 +38,22 @@ def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float,
     return schedule
 
 
+def resolve_backbone_freeze(backbone_name: str, freeze_at: int = -1,
+                            freeze_stem_only: bool = True,
+                            freeze_backbone: bool = False):
+    """Backbone-family freeze defaults.
+
+    The reference ResNet unconditionally freezes conv1/bn1/layer1 — everything
+    not in layer2/3/4 (resnet.py:64-66) — even with train_backbone=True; map
+    that onto (freeze_at=0, freeze_stem_only=False) when no explicit freeze_at
+    was requested. HGNetv2 trains everything by default
+    (include/detrpose_hgnetv2.py:34-35)."""
+    if (backbone_name.startswith("resnet") and freeze_at < 0
+            and not freeze_backbone):
+        return 0, False
+    return freeze_at, freeze_stem_only
+
+
 def make_optimizer(
     params: Any,
     base_lr: float = 1e-4,
@@ -74,10 +90,15 @@ def make_optimizer(
         `layer{i+1}_{block}` (models/resnet.py)."""
         if key in ("stem", "conv1", "bn1"):
             return -1
-        if key.startswith("stages_"):
-            return int(key.split("_")[1])
-        if key.startswith("layer"):
-            return int(key[len("layer"):].split("_")[0]) - 1
+        try:
+            if key.startswith("stages_"):
+                return int(key.split("_")[1])
+            if key.startswith("layer"):
+                return int(key[len("layer"):].split("_")[0]) - 1
+        except ValueError:
+            # inner module names that merely look stage-like (HGNetv2's
+            # `layers_{i}` blocks reach here if no outer key matched first)
+            return None
         return None
 
     def _is_bn(key: str) -> bool:

@@ -27,7 +27,7 @@ from ..parallel import (
     replicated_sharding,
 )
 from ..models import postprocess
-from ..train.optim import make_optimizer
+from ..train.optim import make_optimizer, resolve_backbone_freeze
 from ..data.evaluator import KeypointEvaluator
 from ..utils.checkpoint import save_checkpoint, restore_checkpoint
 
@@ -89,6 +89,12 @@ class Trainer:
         # Milestones are epochs in the config; convert to *optimizer* steps
         # (with grad accumulation, the loader yields micro-batches and the
         # optimizer steps once per grad_accum_steps of them).
+        # ResNet parity: the reference unconditionally freezes conv1/bn1/layer1
+        # (resnet.py:64-66); explicit freeze_at settings still win.
+        freeze_at, freeze_stem_only = resolve_backbone_freeze(
+            getattr(model_cfg, "backbone_name", ""), freeze_at,
+            freeze_stem_only, freeze_backbone)
+
         self.grad_accum_steps = max(int(grad_accum_steps), 1)
         micro_per_epoch = len(train_loader) if train_loader is not None else 1
         opt_steps_per_epoch = max(micro_per_epoch // self.grad_accum_steps, 1)
