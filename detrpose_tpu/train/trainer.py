@@ -67,6 +67,7 @@ class Trainer:
         stage_uint8: Optional[bool] = None,
         eval_stage_uint8: bool = False,
         track_regular_best: bool = True,
+        prewarm_scales: bool = True,
     ):
         self.model = model
         self.cfg = model_cfg
@@ -156,6 +157,7 @@ class Trainer:
         # Opt in (eval_stage_uint8=True) when H2D bandwidth dominates eval.
         self._img_u8_eval = bool(eval_stage_uint8)
         self.track_regular_best = track_regular_best
+        self.prewarm_scales = prewarm_scales
         self._model_dtype = model_cfg.dtype
 
         def eval_fn(v, img, ts):
@@ -279,13 +281,35 @@ class Trainer:
         acc_n: Dict[tuple, int] = {}
         logger = MetricLogger()
         total_steps = len(self.train_loader)
-        t_loop0 = t_steady = time.perf_counter()
+        t_loop0 = time.perf_counter()
+        # Steady-state step timing must exclude EVERY compile, not just the
+        # step-1/2 first-use ones: the multi-scale collate draws ~10 scales
+        # (data/loader.py generate_scales) and each unseen (image shape, dn?)
+        # pair is a new XLA program that can land mid-epoch. Sum time only
+        # over segments whose program was already compiled (round-3 weak #5).
+        seen_programs: set = set()
+        steady_t = 0.0
+        steady_n = 0
+        seg_t0: Optional[float] = None
+        seg_n = 0
         with self._mesh_ctx():
             for batch in logger.log_every(
                     self.train_loader, print_freq,
                     header=f"Epoch: [{epoch}]", total=total_steps,
                     log_fn=self.log):
                 db = self._host_batch(batch)
+                program = (np.asarray(db["images"]).shape, "dn" in db)
+                fresh = program not in seen_programs or n < 2
+                seen_programs.add(program)
+                if fresh and seg_t0 is not None:
+                    # close the running steady segment before the compile
+                    # step; block-drain first so the segment's queued async
+                    # steps are charged to the segment, not to the (excluded)
+                    # compile step
+                    jax.block_until_ready(list(accs.values()))
+                    steady_t += time.perf_counter() - seg_t0
+                    steady_n += seg_n
+                    seg_t0, seg_n = None, 0
                 self.state, metrics = self._jit_step(db)(self.state, db)
                 n += 1
                 # accumulate on device (async) so the host loader overlaps with
@@ -315,11 +339,15 @@ class Trainer:
                         raise RuntimeError(
                             f"Loss is {total}, stopping training (engine.py:68-71)")
                     logger.update(loss=total)
-                if n <= 2:
-                    # steady-state timing starts once every first-use compile
-                    # (step executable at n=1, eager stack/add at n<=2) is done
+                if fresh:
+                    # a compile just happened (new program, or the n<=2
+                    # eager stack/add first-use): drain it, then open a new
+                    # steady segment
                     jax.block_until_ready(accs[mk])
-                    t_steady = time.perf_counter()
+                    seg_t0 = time.perf_counter()
+                    seg_n = 0
+                else:
+                    seg_n += 1
         # Drain the queue with block_until_ready BEFORE the value read: on
         # axon a fetch that drains queued work runs ~20x slower than the work
         # itself (measured 7.5 s/step vs ~0.4 s/step), while a block-drain
@@ -335,10 +363,14 @@ class Trainer:
                     cnts[k] = cnts.get(k, 0) + acc_n[mk]
             out = {k: sums[k] / cnts[k] for k in sums}
         # measured Trainer-LOOP step time (host batch prep + H2D transfer +
-        # step), steady state excluding the first/compile step — comparable to
+        # step), steady state excluding every compile step — comparable to
         # tools/benchmark.bench_train_step's pre-staged number
-        if n > 2:
-            out["step_ms"] = (time.perf_counter() - t_steady) / (n - 2) * 1000.0
+        if seg_t0 is not None and seg_n > 0:
+            steady_t += time.perf_counter() - seg_t0
+            steady_n += seg_n
+        if steady_n > 0:
+            out["step_ms"] = steady_t / steady_n * 1000.0
+        out["compile_programs"] = float(len(seen_programs))
         out["epoch_s"] = time.perf_counter() - t_loop0
         return out
 
@@ -449,11 +481,60 @@ class Trainer:
             self.log(f"wrote {len(results)} detections to {out_path}")
         return out_path
 
+    # -------------------------------------------------------------- prewarm
+    def prewarm_multiscale(self, max_scales: Optional[int] = None) -> int:
+        """Compile the train step for every multi-scale collate bucket up
+        front, so no mid-epoch compile ever stalls training.
+
+        The reference recipe draws a random scale per batch until stop_epoch
+        (dataloader.py:97-106); on TPU each distinct scale is a separate XLA
+        program (~tens of seconds each to compile cold). This runs one step
+        per scale on a zero-filled copy of a real batch — the returned state
+        is discarded (the step is a pure function), only the jit dispatch
+        cache and the persistent compilation cache are warmed.
+
+        Returns the number of programs warmed. No-op without a multi-scale
+        loader.
+        """
+        loader = self.train_loader
+        inner = getattr(loader, "loader", loader)  # unwrap Prefetcher
+        scales = getattr(inner, "scales", None)
+        if not scales:
+            return 0
+        scales = sorted(set(scales))
+        if max_scales:
+            scales = scales[:max_scales]
+        # one real batch for its target/dn structure
+        it = iter(loader)
+        try:
+            sample = next(it)
+        except StopIteration:
+            return 0
+        finally:
+            close = getattr(it, "close", None)
+            if close:
+                close()
+        db0 = self._host_batch(sample)
+        bs = db0["images"].shape[0]
+        n = 0
+        with self._mesh_ctx():
+            for s in scales:
+                db = dict(db0)
+                db["images"] = np.zeros((bs, s, s, 3), db0["images"].dtype)
+                _discard = self._jit_step(db)(self.state, db)
+                n += 1
+            jax.block_until_ready(_discard)
+        self.log(f"prewarmed {n} multi-scale train-step programs "
+                 f"(scales {scales[0]}..{scales[-1]}, batch {bs})")
+        return n
+
     # ------------------------------------------------------------------- fit
     def fit(self):
         from ..parallel.dist import is_main_process
 
         log_path = os.path.join(self.output_dir, "log.txt")
+        if self.prewarm_scales:
+            self.prewarm_multiscale()
         for epoch in range(self.start_epoch, self.epochs):
             train_stats = self.train_one_epoch(epoch)
             # current LRs per param group (reference logs them to TB,

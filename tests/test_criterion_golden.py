@@ -182,6 +182,7 @@ def test_criterion_matches_reference(K):
         d_out_j["aux_interm_outputs"][0]["pred_keypoints"])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("K", [17, 14])
 def test_optional_losses_match_reference(K, monkeypatch):
     """Golden for every loss the config system can enable —

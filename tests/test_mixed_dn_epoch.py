@@ -71,3 +71,43 @@ def test_epoch_mixing_dn_and_nodn_batches():
     dn_keys = [k for k in out if "_dn_" in k]
     assert dn_keys, f"dn loss terms missing from epoch means: {sorted(out)}"
     assert all(np.isfinite(out[k]) for k in dn_keys)
+
+
+@pytest.mark.slow
+def test_multiscale_epoch_timer_and_prewarm():
+    """Multi-scale epochs: the steady-state timer excludes every mid-epoch
+    new-scale compile (round-3 weak #5: it used to assume compiles only at
+    steps 1-2), and prewarm_multiscale() compiles each scale bucket up front
+    so no compile lands inside an epoch at all."""
+    rng = np.random.default_rng(1)
+    cfg = model_config("n", **_TOY)
+    model = build_model(cfg)
+
+    def mk_batch(hw):
+        images = rng.uniform(0, 1, (2, hw, hw, 3)).astype(np.float32)
+        t = _targets(rng, valid=True)
+        dn = build_cdn(t, cfg.num_queries, K, (hw, hw), rng)
+        return {"images": images, "targets": t, "dn": dn}
+
+    scales = [64, 96]  # must be stride-32 divisible
+    # scale switch mid-epoch: 3 steps at 64, then 3 at 96
+    batches = [mk_batch(64)] * 3 + [mk_batch(96)] * 3
+
+    class _ScaledLoader(_ListLoader):
+        pass
+
+    loader = _ScaledLoader(batches)
+    loader.scales = scales
+    trainer = Trainer(model, cfg, train_loader=loader,
+                      tensorboard=False, n_devices=1, epochs=1)
+
+    warmed = trainer.prewarm_multiscale()
+    assert warmed == len(scales)
+
+    out = trainer.train_one_epoch(0, nan_check_freq=0)
+    assert np.isfinite(out["loss_total"])
+    # both scale programs were encountered and tracked
+    assert out["compile_programs"] == 2.0
+    # timing exists and excluded the per-scale first steps: 6 steps, 2 fresh
+    # -> 4 steady steps
+    assert "step_ms" in out and out["step_ms"] > 0

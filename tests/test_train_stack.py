@@ -168,6 +168,7 @@ def test_cdn_label_flip_range_is_reference_80():
     assert dn["labels"].shape[1] == CDNConfig().pad_cap
 
 
+@pytest.mark.slow
 def test_cdn_label_flip_golden_vs_live_reference(monkeypatch):
     """Drive the LIVE reference prepare_for_cdn (dn_component.py:39-183) and
     assert the flipped-label distribution matches ours.
