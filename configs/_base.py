@@ -34,4 +34,9 @@ training_params = {
     "policy_epochs": [5, 29, 48],
 }
 
+# Criterion losses + weights (reference include/detrpose_hgnetv2.py:86-99:
+# Criterion(losses=['vfl','keypoints'], weight_dict=...)). Optional losses the
+# config system can enable: "labels" (loss_ce), "mal" (loss_mal), "local"
+# (loss_dfl) — all golden-tested vs the reference (test_criterion_golden.py).
+losses = ["vfl", "keypoints"]
 weight_dict = {"loss_vfl": 2.0, "loss_keypoints": 10.0, "loss_oks": 4.0}

@@ -55,6 +55,7 @@ def make_train_step(
     ema_warmups: int = 2000,
     use_ema: bool = True,
     grad_accum_steps: int = 1,
+    losses=("vfl", "keypoints"),
 ) -> Callable[[TrainState, Dict[str, Any]], tuple]:
     """Returns a jittable (state, batch) -> (state, metrics) step.
 
@@ -83,19 +84,20 @@ def make_train_step(
             targets = dict(batch["targets"])
             if dn is not None:
                 targets["dn_match"] = dn["dn_match"]
-            losses = criterion_fn(
+            losses_d = criterion_fn(
                 out, targets, num_body_points, num_classes,
                 weight_dict=weight_dict, matcher_backend=matcher_backend,
+                losses=losses,
             )
             total = jnp.asarray(0.0, jnp.float32)
-            for v in losses.values():
+            for v in losses_d.values():
                 total = total + v.astype(jnp.float32)
             # energy regulariser pass-through (reference: engine.py:55
             # `+ model.module.layer_loss`)
             total = total + jnp.asarray(out.get("energy_reg_loss", 0.0), jnp.float32)
-            return total, (losses, mut["batch_stats"])
+            return total, (losses_d, mut["batch_stats"])
 
-        (total, (losses, new_stats)), grads = jax.value_and_grad(
+        (total, (loss_terms, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
         finite = jnp.isfinite(total)
@@ -133,7 +135,7 @@ def make_train_step(
         kept = state.replace(step=state.step + 1)
         new_state = jax.tree.map(
             lambda a, b: jnp.where(finite, a, b), proposed, kept)
-        metrics = {"loss_total": total, "finite": finite, **losses}
+        metrics = {"loss_total": total, "finite": finite, **loss_terms}
         return new_state, metrics
 
     return step

@@ -55,6 +55,7 @@ class Trainer:
         ema_warmups: int = 2000,
         matcher_backend: str = "auction",
         weight_dict=None,
+        losses=("vfl", "keypoints"),
         save_interval: int = 1,
         n_devices: Optional[int] = None,
         log_fn=print,
@@ -124,7 +125,7 @@ class Trainer:
         self._step = make_train_step(
             model, self.tx, num_body_points=model_cfg.num_body_points,
             num_classes=model_cfg.num_classes, weight_dict=weight_dict,
-            matcher_backend=matcher_backend,
+            losses=tuple(losses), matcher_backend=matcher_backend,
             ema_decay=ema_decay, ema_warmups=ema_warmups, use_ema=use_ema,
             grad_accum_steps=self.grad_accum_steps,
         )

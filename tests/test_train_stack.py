@@ -340,3 +340,55 @@ def test_crowdpose_14kpt_train_step():
     assert bool(metrics["finite"])
     assert np.isfinite(float(metrics["loss_total"]))
     assert int(new_state.step) == 1
+
+
+@pytest.mark.slow
+def test_train_step_with_all_losses_enabled():
+    """The losses list is config-addressable end to end: a train step built
+    with losses=('vfl','labels','mal','keypoints','local') emits loss_ce /
+    loss_mal / loss_dfl terms (wired train.py -> Trainer -> make_train_step ->
+    criterion; reference instantiates Criterion(losses=...) from config)."""
+    from detrpose_tpu.configs import build_model, model_config
+    from detrpose_tpu.parallel import init_train_state, make_train_step
+    from detrpose_tpu.train.optim import make_optimizer
+
+    rng = np.random.default_rng(5)
+    HW = 64
+    cfg = model_config("n", num_decoder_layers=2, hidden_dim=64,
+                       enc_dim_feedforward=128, dec_dim_feedforward=128,
+                       num_queries=12, dec_n_points=2)
+    model = build_model(cfg)
+    K = cfg.num_body_points
+
+    t = _rand_targets(rng, 2, 3, K)
+    dn = build_cdn(t, cfg.num_queries, K, (HW, HW), rng)
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (2, HW, HW, 3)), jnp.float32),
+        "targets": {k: jnp.asarray(v) for k, v in t.items()},
+        "dn": jax.tree.map(
+            jnp.asarray, {k: v for k, v in dn.items()
+                          if k not in ("pad_size", "num_dn_group")}),
+    }
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, HW, HW, 3)), train=True))
+    tx = make_optimizer(template["params"], milestones=(10**6,))
+    state = init_train_state(model, tx, jax.random.PRNGKey(0),
+                             jnp.zeros((1, HW, HW, 3)), use_ema=False)
+    wd = {"loss_vfl": 2.0, "loss_keypoints": 10.0, "loss_oks": 4.0,
+          "loss_ce": 1.0, "loss_mal": 1.0, "loss_dfl": 0.5}
+    step = jax.jit(make_train_step(
+        model, tx, num_body_points=K, num_classes=cfg.num_classes,
+        weight_dict=wd, use_ema=False,
+        losses=("vfl", "labels", "mal", "keypoints", "local")))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss_total"]))
+    for fam in ["loss_ce", "loss_mal", "loss_vfl", "loss_keypoints"]:
+        assert fam in metrics, sorted(metrics)
+        assert fam + "_dn_0" in metrics, sorted(metrics)
+    # local distillation: aux layer 0 against the final-layer teacher, plus
+    # the DN branches (final DN branch distills against itself -> exactly 0)
+    assert "loss_dfl_0" in metrics and np.isfinite(float(metrics["loss_dfl_0"]))
+    assert "loss_dfl_dn_0" in metrics
+    nL = cfg.num_decoder_layers
+    assert float(metrics[f"loss_dfl_dn_{nL - 1}"]) == 0.0

@@ -36,6 +36,9 @@ import torch
 import jax
 import jax.numpy as jnp
 
+# the sandbox presets JAX_PLATFORMS=axon at process start; the env var alone
+# does not always take (conftest.py does the same double-set)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 from synth_data import make_tiny_coco

@@ -133,6 +133,10 @@ def main():
         ema_warmups=tp.get("ema_warmups", 2000),
         # backbone freeze knobs (reference hgnetv2.py:526-533,566-569; no-ops
         # in shipped configs — include/detrpose_hgnetv2.py:34-35)
+        # criterion losses + weights are config-addressable (reference
+        # instantiates Criterion(losses=..., weight_dict=...) from the config)
+        weight_dict=dict(getattr(cfg, "weight_dict", None) or {}) or None,
+        losses=tuple(getattr(cfg, "losses", None) or ("vfl", "keypoints")),
         freeze_at=tp.get("freeze_at", -1),
         freeze_stem_only=tp.get("freeze_stem_only", True),
         freeze_backbone=tp.get("freeze_backbone", False),
