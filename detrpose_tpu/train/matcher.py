@@ -151,25 +151,35 @@ def auction_assign(cost: jax.Array, valid: jax.Array, iters: int = 128) -> jax.A
 
 
 def scipy_assign(cost: jax.Array, valid: jax.Array) -> jax.Array:
-    """Exact reference assignment via host scipy (matcher.py:97)."""
+    """Exact reference assignment via host scipy (matcher.py:97).
+
+    The host fn is leading-dims-agnostic and the callback batches with
+    ``expand_dims``, so the criterion's vmap over ~9 supervision branches
+    costs ONE host round-trip per step, not nine (sequential callbacks also
+    fragment the XLA CPU program into serialized segments). broadcast_all
+    (not expand_dims): `valid` is closed over by the vmapped criterion, so it
+    must be broadcast to the mapped batch for the flat host loop to align."""
     def host(cost_np, valid_np):
         from scipy.optimize import linear_sum_assignment
 
-        B, nq, G = cost_np.shape
-        out = np.zeros((B, G), np.int32)
-        for b in range(B):
-            g = int(valid_np[b].sum())
+        lead = cost_np.shape[:-2]
+        nq, G = cost_np.shape[-2:]
+        c2 = cost_np.reshape(-1, nq, G)
+        v2 = valid_np.reshape(-1, G)
+        out = np.zeros((c2.shape[0], G), np.int32)
+        for b in range(c2.shape[0]):
+            g = int(v2[b].sum())
             if g == 0:
                 continue
-            r, c = linear_sum_assignment(cost_np[b, :, :g])
+            r, c = linear_sum_assignment(c2[b, :, :g])
             # rows r matched to cols c; invert to per-col query
             out[b, c] = r.astype(np.int32)
-        return out
+        return out.reshape(lead + (G,))
 
     B, _, G = cost.shape
     return jax.pure_callback(
         host, jax.ShapeDtypeStruct((B, G), jnp.int32), cost, valid,
-        vmap_method="sequential",
+        vmap_method="broadcast_all",
     )
 
 

@@ -56,7 +56,7 @@ from detrpose_tpu.utils.convert import convert_state_dict
 
 K = 17
 HW = 160
-BS = 4
+BS = 2
 N_TRAIN = 64
 N_VAL = 32
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
