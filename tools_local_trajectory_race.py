@@ -19,6 +19,7 @@ eval path (eval-forward equality is pinned separately by test_model_parity).
 Writes RACE_r04.json {loss curves, AP checkpoints} — the recorded artifact.
 Run:  python tools_local_trajectory_race.py [epochs] [out.json]
 """
+import faulthandler
 import json
 import os
 import sys
@@ -26,6 +27,12 @@ import time
 import types
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # torch shares this box; keep jax off axon
+# torch (OpenMP) and XLA-CPU thread pools share this 1-core box; pin both to
+# one thread — a full run once deadlocked (all threads futex_wait) right
+# after a jax epoch on the mixed-runtime process.
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+# if anything wedges again, dump all thread stacks and die instead of hanging
+faulthandler.dump_traceback_later(1800, exit=True)
 
 import numpy as np
 
@@ -262,6 +269,9 @@ t_race0 = time.time()
 checkpoint_eval(0)
 step = 0
 for epoch in range(EPOCHS):
+    # re-arm the wedge watchdog: no single epoch (train both sides + eval)
+    # should take 30 min; if it does, dump every thread stack and exit
+    faulthandler.dump_traceback_later(1800, exit=True)
     loader.set_epoch(epoch)
     batches = list(loader)  # one materialization feeds BOTH stacks
 
