@@ -162,6 +162,13 @@ def scipy_assign(cost: jax.Array, valid: jax.Array) -> jax.Array:
     def host(cost_np, valid_np):
         from scipy.optimize import linear_sum_assignment
 
+        # The callback may receive jax.Arrays, and ANY jax op issued from the
+        # callback thread (even a reshape) re-enters the dispatcher while the
+        # XLA CPU executor is blocked inside this very callback — a real
+        # deadlock observed as all-threads-futex_wait mid-epoch. Copy to
+        # numpy FIRST; everything below must stay pure numpy/scipy.
+        cost_np = np.asarray(cost_np)
+        valid_np = np.asarray(valid_np)
         lead = cost_np.shape[:-2]
         nq, G = cost_np.shape[-2:]
         c2 = cost_np.reshape(-1, nq, G)
