@@ -159,9 +159,13 @@ def scipy_assign(cost: jax.Array, valid: jax.Array) -> jax.Array:
     fragment the XLA CPU program into serialized segments). broadcast_all
     (not expand_dims): `valid` is closed over by the vmapped criterion, so it
     must be broadcast to the mapped batch for the flat host loop to align."""
-    def host(cost_np, valid_np):
-        from scipy.optimize import linear_sum_assignment
+    # Import at definition time, NOT inside the callback: an import from the
+    # callback thread takes Python's module import locks while the main
+    # thread may be blocked in the runtime — one more deadlock edge on a
+    # single-threaded CPU executor.
+    from scipy.optimize import linear_sum_assignment
 
+    def host(cost_np, valid_np):
         # The callback may receive jax.Arrays, and ANY jax op issued from the
         # callback thread (even a reshape) re-enters the dispatcher while the
         # XLA CPU executor is blocked inside this very callback — a real
