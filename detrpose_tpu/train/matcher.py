@@ -187,10 +187,19 @@ def scipy_assign(cost: jax.Array, valid: jax.Array) -> jax.Array:
             out[b, c] = r.astype(np.int32)
         return out.reshape(lead + (G,))
 
+    # broadcast_all batches the criterion's ~9 vmapped branches into ONE host
+    # round-trip (fast path). With a SECOND threaded runtime co-resident in
+    # the process (torch training loops, as in parity-race harnesses), the
+    # batched callback intermittently wedges the single-threaded XLA CPU
+    # executor at full model dims (all threads futex_wait; toy dims run
+    # clean); `sequential` has never wedged and costs ~equal at small batch.
+    # DETRPOSE_SCIPY_VMAP=sequential selects the conservative path.
+    import os
+
     B, _, G = cost.shape
     return jax.pure_callback(
         host, jax.ShapeDtypeStruct((B, G), jnp.int32), cost, valid,
-        vmap_method="broadcast_all",
+        vmap_method=os.environ.get("DETRPOSE_SCIPY_VMAP", "broadcast_all"),
     )
 
 

@@ -31,6 +31,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # torch shares this box; keep jax off axon
 # one thread — a full run once deadlocked (all threads futex_wait) right
 # after a jax epoch on the mixed-runtime process.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
+# batched (broadcast_all) scipy callbacks intermittently wedge the XLA CPU
+# executor when torch training loops share the process (see matcher.py);
+# the sequential path has never wedged in this mixed-runtime harness
+os.environ.setdefault("DETRPOSE_SCIPY_VMAP", "sequential")
 # if anything wedges again, dump all thread stacks and die instead of hanging
 faulthandler.dump_traceback_later(1800, exit=True)
 
