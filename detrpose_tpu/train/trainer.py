@@ -159,6 +159,9 @@ class Trainer:
         self._img_u8_eval = bool(eval_stage_uint8)
         self.track_regular_best = track_regular_best
         self.prewarm_scales = prewarm_scales
+        # (image shape, dn?) programs already timed-around (see
+        # train_one_epoch's steady-state accounting)
+        self._seen_programs: set = set()
         self._model_dtype = model_cfg.dtype
 
         def eval_fn(v, img, ts):
@@ -288,7 +291,9 @@ class Trainer:
         # (data/loader.py generate_scales) and each unseen (image shape, dn?)
         # pair is a new XLA program that can land mid-epoch. Sum time only
         # over segments whose program was already compiled (round-3 weak #5).
-        seen_programs: set = set()
+        # The seen set persists across epochs (compiles are per-process):
+        # epoch 2+ of a multi-scale run then measures with zero exclusions.
+        seen_programs = self._seen_programs
         steady_t = 0.0
         steady_n = 0
         seg_t0: Optional[float] = None
