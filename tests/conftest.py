@@ -18,3 +18,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# The whole suite runs torch and jax in ONE process; batched (broadcast_all)
+# scipy matcher callbacks intermittently wedge the single-threaded XLA CPU
+# executor in exactly that mixed-runtime condition (see train/matcher.py).
+# Pin the conservative path suite-wide; both methods' equivalence is covered
+# explicitly in test_train_stack.
+os.environ.setdefault("DETRPOSE_SCIPY_VMAP", "sequential")

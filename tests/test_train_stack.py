@@ -392,3 +392,21 @@ def test_train_step_with_all_losses_enabled():
     assert "loss_dfl_dn_0" in metrics
     nL = cfg.num_decoder_layers
     assert float(metrics[f"loss_dfl_dn_{nL - 1}"]) == 0.0
+
+
+@pytest.mark.parametrize("method", ["sequential", "broadcast_all"])
+def test_scipy_assign_vmap_methods_equivalent(method, monkeypatch):
+    """Both callback batching modes produce identical assignments (the suite
+    pins sequential via conftest because broadcast_all can wedge the XLA CPU
+    executor when a torch training loop shares the process)."""
+    monkeypatch.setenv("DETRPOSE_SCIPY_VMAP", method)
+    from detrpose_tpu.train.matcher import scipy_assign
+
+    rng = np.random.default_rng(0)
+    M, B, nq, G = 5, 2, 12, 4
+    cost = jnp.asarray(rng.standard_normal((M, B, nq, G)).astype(np.float32))
+    valid = jnp.asarray(np.ones((B, G), bool))
+    out_v = jax.jit(jax.vmap(lambda c: scipy_assign(c, valid)))(cost)
+    out_ref = np.stack([np.asarray(scipy_assign(cost[m], valid))
+                        for m in range(M)])
+    np.testing.assert_array_equal(np.asarray(out_v), out_ref)
