@@ -1,12 +1,36 @@
 """Benchmark harness: DETRPose-L batched inference throughput on TPU.
 
-Protocol mirrors the reference (tools/benchmark/torch_benchmark.py:34-51):
-warmup then timed iterations; we report steady-state images/sec on one chip at
-batch 32, 640x640, bf16 activations — the serving configuration from
-BASELINE.json. vs_baseline compares against the reference's TensorRT V100
-number for DETRPose-L (9.50 ms/img => 105.3 images/sec, README.md:84).
+Round-5 rewrite: every number this harness reports is EXECUTION-PROVEN.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Historical context (VERDICT r4): on this sandbox's axon runtime,
+``jax.block_until_ready`` has been observed to return without bounding
+execution, so host-wall timing of dispatched calls measured dispatch rate,
+not compute — BENCH_r01–r04 reported physically impossible throughput
+(implied 3.3 PFLOP/s on a 197 TFLOP/s chip). Device-side profiler traces are
+not an alternative: ``jax.profiler.start_trace`` hangs indefinitely on this
+runtime (measured: no return within 290 s, three attempts, and the attempt
+can wedge the tunnel for the whole process). The measurement that IS
+trustworthy here:
+
+  **scan slope** — run N forward iterations inside ONE jitted executable
+  (``lax.scan`` with the carry threaded through every iteration so nothing
+  can be elided or reordered), reduce to a scalar on device, and read the
+  4-byte scalar on the host. The read cannot complete until all N on-device
+  iterations have executed. Timing two N values and taking the slope
+  ``(t2 - t1) / (N2 - N1)`` cancels every fixed cost: dispatch, tunnel RPC
+  latency, the read path. A chained 8192^3 bf16 matmul control measured
+  174.5 TFLOP/s = 88.5% of v5e peak with this method — physically sane.
+
+Sanity gate (VERDICT r4 next #1): if the implied TFLOP/s of any reported
+number exceeds the device's physical bf16 peak, the harness emits
+``measurement_invalid: true`` and refuses to report a ``vs_baseline``.
+
+Protocol parity: the reference measures avg latency over warmed real-image
+iterations (tools/benchmark/torch_benchmark.py:29-100); the scan body is the
+same forward+postprocess program at the same (batch, resolution), warmed by
+the compile call, iterated with a data dependency per iteration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -15,34 +39,50 @@ import time
 
 import numpy as np
 
+# bf16 peak TFLOP/s per chip, by self-reported device kind.
+DEVICE_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+TRT_L_IPS = 1000.0 / 9.50   # reference DETRPose-L TRT fp16 V100 (README.md:84)
+
 
 def main():
     from detrpose_tpu.utils.compilation_cache import enable_persistent_cache
+    from detrpose_tpu.utils.measure import slope_timer as _slope
 
     enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 
-    # The axon TPU tunnel occasionally has outages (observed: >30 min dead
-    # where even jax.devices() hangs). Probe device contact in a subprocess
-    # (a hung backend call cannot be timed out in-process) and retry a few
-    # times so a transient flake doesn't turn into a failed benchmark run.
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    # The axon TPU tunnel has outages (observed: >30 min dead where even
+    # jax.devices() hangs). Probe device contact in a subprocess (a hung
+    # backend call cannot be timed out in-process) and retry a few times so
+    # a transient flake doesn't turn into a failed benchmark run.
     import subprocess
-    for attempt in range(6):
+    for attempt in range(8):
         try:
             probe = subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; jax.devices(); "
-                 "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()"],
-                timeout=90, capture_output=True)
+                 "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))"],
+                timeout=120, capture_output=True)
             if probe.returncode == 0:
                 break
         except subprocess.TimeoutExpired:
             pass
-        print(f"# device probe attempt {attempt + 1} failed; retrying",
-              file=sys.stderr)
-        time.sleep(30)
-    # after 6 failures fall through anyway: the driver's own timeout governs
+        log(f"# device probe attempt {attempt + 1} failed; retrying in 60s")
+        time.sleep(60)
+    # after 8 failures fall through anyway: the driver's own timeout governs
 
     from detrpose_tpu.configs import model_config, build_model
     from detrpose_tpu.models import postprocess
@@ -50,184 +90,214 @@ def main():
     size = os.environ.get("BENCH_MODEL", "l")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     res = int(os.environ.get("BENCH_RES", "640"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    n1 = int(os.environ.get("BENCH_SCAN_N1", "2"))
+    n2 = int(os.environ.get("BENCH_SCAN_N2", "34"))
 
+    device = jax.devices()[0]
+    device_kind = device.device_kind
+    peak_tflops = DEVICE_PEAK_TFLOPS.get(device_kind)
+
+    # ---------------- control: chained 8192^3 bf16 matmul scan slope -------
+    # Validates the measurement on silicon with a known roofline; also
+    # detects a degraded runtime regime (if reads poison the process, this
+    # collapses and flags every later number).
+    def matmul_control():
+        dim = 8192
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((dim, dim)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((dim, dim)), jnp.bfloat16)
+
+        def make(n):
+            @jax.jit
+            def run(a, b):
+                def body(c, _):
+                    return (c @ b) * (1.0 / dim), ()
+                c, _ = jax.lax.scan(body, a, None, length=n)
+                return c.sum()
+            return lambda: run(a, b)
+
+        slope_s, _, _ = _slope(make, (8, 136), repeats=2, log=log)
+        return 2.0 * dim ** 3 / slope_s / 1e12 if slope_s > 0 else float("inf")
+
+    control_tflops = matmul_control()
+    log(f"# control matmul: {control_tflops:.1f} TFLOP/s "
+        f"(peak {peak_tflops} for {device_kind})")
+
+    # ------------------------------- model -------------------------------
     cfg = model_config(size, dtype=jnp.bfloat16)
     model = build_model(cfg)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
+                           train=False)
+    )()
 
     rng = np.random.default_rng(0)
-    # Rotate distinct inputs so no call can be elided or cached.
-    xs = [
-        jnp.asarray(rng.uniform(0, 1, (batch, res, res, 3)).astype(np.float32))
-        for _ in range(8)
-    ]
-    x = xs[0]
+    x = jnp.asarray(rng.uniform(0, 1, (batch, res, res, 3)).astype(np.float32))
     ts = jnp.full((batch, 2), float(res), jnp.float32)
 
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)), train=False)
-    )()
-    jax.block_until_ready(variables)
-
-    @jax.jit
     def fwd(v, img, sizes):
         out = model.apply(v, img, train=False)
         return postprocess(out, sizes, num_body_points=cfg.num_body_points)
 
-    t_compile = time.time()
-    out = fwd(variables, x, ts)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t_compile
-
-    for i in range(warmup):
-        out = fwd(variables, xs[i % len(xs)], ts)
-    jax.block_until_ready(out)
-
-    # Optional profiler capture (SURVEY section 5 tracing equivalent):
-    # BENCH_TRACE=/path captures a few steps with jax.profiler.
-    trace_dir = os.environ.get("BENCH_TRACE")
-    if trace_dir:
-        with jax.profiler.trace(trace_dir):
-            for i in range(3):
-                out = fwd(variables, xs[i % len(xs)], ts)
-            jax.block_until_ready(out)
-        print(f"# profiler trace written to {trace_dir}", file=sys.stderr)
-
-    outs = []
-    t0 = time.time()
-    for i in range(iters):
-        outs.append(fwd(variables, xs[i % len(xs)], ts)[0])
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
-
-    ips = batch * iters / dt
-    trt_ips = 1000.0 / 9.50  # reference DETRPose-L TRT fp16 V100 (README.md:84)
-
-    # ---- self-describing accounting (VERDICT r2 #4): device kind as the
-    # runtime reports it, analytical FLOPs of the compiled program, and a
-    # dependency-CHAINED leg where each batch's input depends on the previous
-    # batch's output — dispatch overlap cannot inflate that number.
-    device_kind = jax.devices()[0].device_kind
+    # analytical FLOPs of the compiled forward+postprocess batch
     flops_batch = None
     try:
-        ca = fwd.lower(variables, x, ts).compile().cost_analysis()
+        ca = jax.jit(fwd).lower(variables, x, ts).compile().cost_analysis()
         if ca:
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             flops_batch = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
 
-    @jax.jit
-    def fwd_chained(v, img, sizes):
-        s, lab, kp = fwd(v, img, sizes)
-        # scalar data dependency threaded into the next batch's input
-        return s, lab, kp, (s[0, 0] * 0.0).astype(img.dtype)
+    # primary: scan-slope of forward+postprocess. The carry perturbs the next
+    # iteration's input (data dependency) and is a scalar reduction of the
+    # scores output, so no iteration can be elided, reordered, or fused away.
+    def make_model_run(n):
+        @jax.jit
+        def run(v, img, sizes):
+            def body(carry, _):
+                xi = img + (carry * 1e-12).astype(img.dtype)
+                scores, labels, kpts = fwd(v, xi, sizes)
+                return jnp.sum(scores).astype(jnp.float32), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
+        return lambda: run(variables, x, ts)
 
-    eps = jnp.zeros((), x.dtype)
-    out = fwd_chained(variables, x + eps, ts)
-    jax.block_until_ready(out)
-    for i in range(max(warmup // 2, 3)):
-        out = fwd_chained(variables, xs[i % len(xs)] + out[3], ts)
+    t_compile = time.time()
+    slope_s, fixed_s, slope_detail = _slope(
+        make_model_run, (n1, n2), repeats=3, log=log)
+    compile_s = slope_detail[n1]["first_s"]
+
+    ms_batch = slope_s * 1e3
+    ips = batch / slope_s if slope_s > 0 else float("inf")
+    tflops = flops_batch / slope_s / 1e12 if (flops_batch and slope_s > 0) else None
+    mfu = (tflops / peak_tflops) if (tflops and peak_tflops) else None
+
+    # ---- sanity gate (VERDICT r4 next #1): a number above the chip's
+    # physical peak is a broken measurement, not a result.
+    measurement_invalid = bool(
+        peak_tflops is not None and tflops is not None
+        and tflops > peak_tflops)
+
+    # ---- diagnostic only: the historical dispatch-rate wall (block_until_
+    # ready-bounded). On a healthy runtime it should agree with the slope;
+    # when block_until_ready is a no-op it inflates — which is itself a
+    # useful runtime-regime indicator, so report the ratio, never the number
+    # as a result.
+    jfwd = jax.jit(fwd)
+    out = jfwd(variables, x, ts)
     jax.block_until_ready(out)
     t0 = time.time()
-    for i in range(iters):
-        out = fwd_chained(variables, xs[i % len(xs)] + out[3], ts)
+    for _ in range(10):
+        out = jfwd(variables, x, ts)
     jax.block_until_ready(out)
-    dt_chain = time.time() - t0
-    chained_ms = dt_chain / iters * 1000.0
-    chained_ips = batch * iters / dt_chain
-    tflops = (flops_batch * iters / dt_chain / 1e12) if flops_batch else None
+    dispatch_ms = (time.time() - t0) / 10 * 1e3
+    dispatch_agrees = bool(ms_batch > 0 and 0.5 <= dispatch_ms / ms_batch <= 2.0)
 
-    # ---- serving-shaped measurement: host uint8 -> H2D transfer -> in-graph
-    # normalize -> model -> postprocess, double-buffered so the next batch's
-    # transfer overlaps this batch's compute. This includes everything the
-    # reference TRT protocol pays except JPEG decode (VERDICT round-1 #9).
+    # ------------------------------ serving ------------------------------
+    # host uint8 -> H2D over the tunnel -> in-graph dequantize -> model ->
+    # postprocess, double-buffered. Execution-proven: every batch's scalar
+    # output accumulates into a device carry and ONE 4-byte read at the end
+    # requires the whole pipeline to have run. Bandwidth accounting is
+    # SUSTAINED (bytes moved / wall inside the timed loop), not a burst
+    # probe (VERDICT r4 weak #2 / next #3).
     @jax.jit
-    def fwd_u8(v, img_u8, sizes):
+    def fwd_u8_acc(v, img_u8, sizes, acc):
         img = img_u8.astype(jnp.bfloat16) / 255.0
-        out = model.apply(v, img, train=False)
-        return postprocess(out, sizes, num_body_points=cfg.num_body_points)
+        scores, labels, kpts = fwd(v, img, sizes)
+        return acc + jnp.sum(scores).astype(jnp.float32)
 
     xs_u8 = [(rng.uniform(0, 255, (batch, res, res, 3))).astype(np.uint8)
              for _ in range(8)]
-    dev = jax.devices()[0]
+    bytes_per_batch = xs_u8[0].nbytes
 
-    # Standalone H2D bandwidth, measured FIRST: this sandbox reaches the chip
-    # through an HTTP tunnel whose bandwidth swings ~25x day to day (measured
-    # 24.5 -> 658 ms/batch for the same 37.7 MB transfer); on a PCIe-attached
-    # host this leg is compute-bound. A degraded tunnel physically caps the
-    # serving leg regardless of the framework, so: measure, retry (bounded)
-    # if below the bandwidth the 2x-baseline serving rate needs, and flag the
-    # result as degraded rather than letting a tunnel outage masquerade as a
-    # perf regression (VERDICT r3 weak #1).
-    def measure_h2d():
+    # sustained H2D bandwidth: 12 back-to-back puts, wall to last-ready
+    def sustained_h2d():
         t0 = time.time()
-        h2d = [jax.device_put(xs_u8[i % 8], dev) for i in range(4)]
-        jax.block_until_ready(h2d)
-        return 4 * xs_u8[0].nbytes / (time.time() - t0) / 1e6
+        bufs = [jax.device_put(xs_u8[i % 8], device) for i in range(12)]
+        jax.block_until_ready(bufs)
+        # block_until_ready may be a no-op; force with a 1-byte read each
+        for b in bufs:
+            _ = np.asarray(b[0, 0, 0, 0])
+        return 12 * bytes_per_batch / (time.time() - t0) / 1e6
 
-    trt2x_ips = 2.0 * 1000.0 / 9.50
-    # MB/s the tunnel must carry for the serving leg to even reach 2x baseline
-    # (the h2d_tunnel_mbps key is historically megaBYTES/s)
-    h2d_need = trt2x_ips * res * res * 3 / 1e6
-    h2d_mbps = measure_h2d()
-    for retry in range(3):
-        if h2d_mbps >= h2d_need:
-            break
-        print(f"# tunnel at {h2d_mbps:.0f} MB/s < {h2d_need:.0f} MB/s "
-              f"serving-2x need; retry {retry + 1} in 20s", file=sys.stderr)
-        time.sleep(20)
-        h2d_mbps = max(h2d_mbps, measure_h2d())
-    serving_degraded = h2d_mbps < h2d_need
+    trt2x_ips = 2.0 * TRT_L_IPS
+    h2d_need = trt2x_ips * bytes_per_batch / batch / 1e6
+    h2d_sustained = sustained_h2d()
 
-    out = fwd_u8(variables, jax.device_put(xs_u8[0], dev), ts)
-    jax.block_until_ready(out)
-    for i in range(warmup):
-        out = fwd_u8(variables, jax.device_put(xs_u8[i % 8], dev), ts)
-    jax.block_until_ready(out)
+    # warm the serving program
+    acc = jnp.float32(0.0)
+    acc = fwd_u8_acc(variables, jax.device_put(xs_u8[0], device), ts, acc)
+    _ = float(acc)
 
-    outs = []
+    acc = jnp.float32(0.0)
     t0 = time.time()
-    nxt = jax.device_put(xs_u8[0], dev)
+    nxt = jax.device_put(xs_u8[0], device)
     for i in range(iters):
         cur = nxt
         if i + 1 < iters:  # prefetch next H2D while this batch computes
-            nxt = jax.device_put(xs_u8[(i + 1) % 8], dev)
-        outs.append(fwd_u8(variables, cur, ts)[0])
-    jax.block_until_ready(outs)
+            nxt = jax.device_put(xs_u8[(i + 1) % 8], device)
+        acc = fwd_u8_acc(variables, cur, ts, acc)
+    _ = float(acc)  # single 4-byte read: proves all iters executed
     dt_srv = time.time() - t0
     srv_ips = batch * iters / dt_srv
+    srv_eff_mbps = bytes_per_batch * iters / dt_srv / 1e6
+    # overlap quality: wall vs the larger of (pure compute, pure transfer)
+    ideal_s = max(iters * slope_s,
+                  iters * bytes_per_batch / (h2d_sustained * 1e6))
+    serving_overlap = ideal_s / dt_srv if dt_srv > 0 else None
+    # degraded = the SUSTAINED tunnel bandwidth (or the effective bandwidth
+    # the loop achieved, whichever is higher — the loop is itself a sustained
+    # measurement) cannot carry a 2x-baseline serving rate. Tunnel weather,
+    # not framework.
+    serving_degraded = max(h2d_sustained, srv_eff_mbps) < h2d_need
 
-    print(json.dumps({
+    # control repeat: detects a mid-run regime shift (e.g. the process
+    # entered a degraded read mode between phases)
+    control_tflops_end = matmul_control()
+
+    vs_baseline = None if measurement_invalid else round(ips / TRT_L_IPS, 3)
+    result = {
         "metric": f"detrpose_{size}_bs{batch}_{res}px_images_per_sec_per_chip",
         "value": round(ips, 2),
         "unit": "images/sec",
-        "vs_baseline": round(ips / trt_ips, 3),
-        "serving_ips_host_to_device": round(srv_ips, 2),
-        "serving_vs_baseline": round(srv_ips / trt_ips, 3),
-        # degraded = the measured tunnel bandwidth cannot physically carry a
-        # 2x-baseline serving rate; judge perf on the chained leg that day
-        # (see BASELINE.md "pass basis").
-        "serving_degraded": serving_degraded,
-        "h2d_tunnel_mbps": round(h2d_mbps, 1),
-        "h2d_mbps_needed_for_2x": round(h2d_need, 1),
-        "chained_vs_baseline": round(chained_ips / trt_ips, 3),
-        # environment-honest accounting: the ratio above is relative to the
-        # reference's V100-TRT number and is a property of THIS device.
-        "device_kind": device_kind,
-        "chained_ms_per_batch": round(chained_ms, 3),
-        "chained_images_per_sec": round(chained_ips, 2),
+        "vs_baseline": vs_baseline,
+        "measurement_basis": (
+            "on-device scan slope: N fwd iterations inside one executable, "
+            "scalar read; slope over N cancels fixed costs. Execution-proven;"
+            " see BASELINE.md pass basis."),
+        "measurement_invalid": measurement_invalid,
+        "ms_per_batch": round(ms_batch, 3),
         "gflops_per_batch": round(flops_batch / 1e9, 1) if flops_batch else None,
         "implied_tflops_per_sec": round(tflops, 1) if tflops else None,
-    }))
-    print(f"# device={device_kind} compile={compile_s:.1f}s "
-          f"steady={dt / iters * 1000:.2f}ms/batch "
-          f"({dt / iters / batch * 1000:.3f}ms/img) "
-          f"chained={chained_ms:.2f}ms/batch "
-          f"implied={tflops and round(tflops, 1)}TFLOP/s "
-          f"serving={dt_srv / iters * 1000:.2f}ms/batch incl. H2D",
-          file=sys.stderr)
+        "device_kind": device_kind,
+        "device_peak_tflops_bf16": peak_tflops,
+        "mfu": round(mfu, 4) if mfu else None,
+        "control_matmul_tflops": round(control_tflops, 1),
+        "control_matmul_tflops_end": round(control_tflops_end, 1),
+        "fixed_overhead_ms_per_call": round(fixed_s * 1e3, 1),
+        "dispatch_wall_ms_per_batch": round(dispatch_ms, 3),
+        "dispatch_wall_agrees_with_slope": dispatch_agrees,
+        "serving_ips_host_to_device": round(srv_ips, 2),
+        "serving_vs_baseline": round(srv_ips / TRT_L_IPS, 3),
+        "serving_degraded": serving_degraded,
+        "serving_overlap_ratio": round(serving_overlap, 3) if serving_overlap else None,
+        "h2d_sustained_mbps": round(h2d_sustained, 1),
+        "h2d_effective_mbps_in_loop": round(srv_eff_mbps, 1),
+        "h2d_mbps_needed_for_2x": round(h2d_need, 1),
+        "profiler_trace": (
+            "unavailable: jax.profiler.start_trace hangs on this runtime "
+            "(3 attempts, 115-290 s, no files written) and can wedge the "
+            "device tunnel; scan slope is the execution-proven basis"),
+    }
+    print(json.dumps(result))
+    log(f"# device={device_kind} compile={compile_s:.1f}s "
+        f"slope={ms_batch:.2f}ms/batch ({ips:.0f} img/s, "
+        f"MFU={mfu and round(100 * mfu, 1)}%) "
+        f"dispatch-wall={dispatch_ms:.2f}ms/batch "
+        f"serving={dt_srv / iters * 1000:.1f}ms/batch incl. H2D "
+        f"({srv_eff_mbps:.0f} MB/s effective)")
 
 
 if __name__ == "__main__":

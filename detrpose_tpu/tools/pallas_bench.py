@@ -47,6 +47,26 @@ def main():
     aw = jnp.asarray(aw / aw.sum(axis=(-1, -2), keepdims=True))
 
     def bench(name, fn):
+        # Execution-proven scan slope (utils/measure.py): the carry perturbs
+        # the sampling locations each iteration and the output reduces to a
+        # scalar, so no call can be elided; block_until_ready walls are
+        # reported only as a sync-honesty diagnostic (r4: they measured
+        # dispatch rate, not compute, on this runtime).
+        from ..utils.measure import slope_timer
+
+        def make(n):
+            @jax.jit
+            def run(vals, l0, w0):
+                def body(carry, _):
+                    li = l0 + (carry * 1e-12).astype(l0.dtype)
+                    out = fn(vals, li, w0)
+                    return jnp.sum(out).astype(jnp.float32), ()
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+                return c
+            return lambda: run(value_levels, loc, aw)
+
+        slope_s, _fx, _d = slope_timer(make, ns=(2, 2 + args.iters))
+
         f = jax.jit(fn)
         out = f(value_levels, loc, aw)
         jax.block_until_ready(out)
@@ -54,9 +74,10 @@ def main():
         for _ in range(args.iters):
             out = f(value_levels, loc, aw)
         jax.block_until_ready(out)
-        dt = (time.time() - t0) / args.iters * 1000
+        wall = (time.time() - t0) / args.iters * 1000
+        dt = slope_s * 1000
         print(f"{name:>24}: {dt:8.3f} ms/call  "
-              f"({dt / B * 1000:7.1f} us/img)")
+              f"({dt / B * 1000:7.1f} us/img)  [wall diag {wall:8.3f} ms]")
         return dt
 
     t_xla = bench("xla gather (default)", ms_deform_attn)

@@ -193,13 +193,22 @@ def scipy_assign(cost: jax.Array, valid: jax.Array) -> jax.Array:
     # batched callback intermittently wedges the single-threaded XLA CPU
     # executor at full model dims (all threads futex_wait; toy dims run
     # clean); `sequential` has never wedged and costs ~equal at small batch.
-    # DETRPOSE_SCIPY_VMAP=sequential selects the conservative path.
+    # Auto-select: honor DETRPOSE_SCIPY_VMAP when set; otherwise pick
+    # `sequential` whenever torch is co-resident in the process (the only
+    # condition under which broadcast_all has ever wedged) and the batched
+    # fast path when jax owns the process. Documented in README "Matching
+    # backends".
     import os
+    import sys as _sys
+
+    vmap_method = os.environ.get("DETRPOSE_SCIPY_VMAP")
+    if vmap_method is None:
+        vmap_method = "sequential" if "torch" in _sys.modules else "broadcast_all"
 
     B, _, G = cost.shape
     return jax.pure_callback(
         host, jax.ShapeDtypeStruct((B, G), jnp.int32), cost, valid,
-        vmap_method=os.environ.get("DETRPOSE_SCIPY_VMAP", "broadcast_all"),
+        vmap_method=vmap_method,
     )
 
 

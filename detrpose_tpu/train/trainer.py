@@ -162,6 +162,10 @@ class Trainer:
         # (image shape, dn?) programs already timed-around (see
         # train_one_epoch's steady-state accounting)
         self._seen_programs: set = set()
+        # the eager metric stack/accum jits compile on their first two uses
+        # of the process; once warm, later epochs measure with no per-epoch
+        # step exclusions (advisor r4)
+        self._accum_warm = False
         self._model_dtype = model_cfg.dtype
 
         def eval_fn(v, img, ts):
@@ -291,12 +295,17 @@ class Trainer:
         # (data/loader.py generate_scales) and each unseen (image shape, dn?)
         # pair is a new XLA program that can land mid-epoch. Sum time only
         # over segments whose program was already compiled (round-3 weak #5).
-        # The seen set persists across epochs (compiles are per-process):
+        # The seen set persists across epochs (compiles are per-process), and
+        # the first-two-steps exclusion (the eager metric stack/accum jits
+        # compiling on first use) applies only until those jits are warm —
         # epoch 2+ of a multi-scale run then measures with zero exclusions.
         seen_programs = self._seen_programs
         steady_t = 0.0
         steady_n = 0
-        seg_t0: Optional[float] = None
+        # Open a segment immediately: an epoch whose every program is already
+        # compiled (epoch 2+, or fully prewarmed) has no fresh step to open
+        # one. A segment closed with zero steady steps contributes no time.
+        seg_t0: Optional[float] = time.perf_counter()
         seg_n = 0
         with self._mesh_ctx():
             for batch in logger.log_every(
@@ -305,16 +314,20 @@ class Trainer:
                     log_fn=self.log):
                 db = self._host_batch(batch)
                 program = (np.asarray(db["images"]).shape, "dn" in db)
-                fresh = program not in seen_programs or n < 2
+                fresh = (program not in seen_programs
+                         or (not self._accum_warm and n < 2))
                 seen_programs.add(program)
                 if fresh and seg_t0 is not None:
                     # close the running steady segment before the compile
                     # step; block-drain first so the segment's queued async
                     # steps are charged to the segment, not to the (excluded)
-                    # compile step
-                    jax.block_until_ready(list(accs.values()))
-                    steady_t += time.perf_counter() - seg_t0
-                    steady_n += seg_n
+                    # compile step. A segment with zero steady steps (e.g.
+                    # the one opened at loop start when step 0 is fresh)
+                    # contributes nothing.
+                    if seg_n > 0:
+                        jax.block_until_ready(list(accs.values()))
+                        steady_t += time.perf_counter() - seg_t0
+                        steady_n += seg_n
                     seg_t0, seg_n = None, 0
                 self.state, metrics = self._jit_step(db)(self.state, db)
                 n += 1
@@ -376,8 +389,11 @@ class Trainer:
             steady_n += seg_n
         if steady_n > 0:
             out["step_ms"] = steady_t / steady_n * 1000.0
+        out["steady_steps"] = float(steady_n)
         out["compile_programs"] = float(len(seen_programs))
         out["epoch_s"] = time.perf_counter() - t_loop0
+        if n >= 2:
+            self._accum_warm = True
         return out
 
     def _eval_variables(self, use_ema: bool) -> Dict[str, Any]:
@@ -508,6 +524,13 @@ class Trainer:
         if not scales:
             return 0
         scales = sorted(set(scales))
+        # A run that starts at/after the multi-scale stop epoch only ever
+        # sees base_size batches — warming every bucket would pay ~tens of
+        # seconds of compile per scale for programs that never run
+        # (advisor r4).
+        stop = getattr(inner, "multiscale_stop_epoch", None)
+        if stop is not None and self.start_epoch >= stop:
+            scales = [inner.base_size]
         if max_scales:
             scales = scales[:max_scales]
         # one real batch for its target/dn structure
@@ -528,6 +551,10 @@ class Trainer:
                 db = dict(db0)
                 db["images"] = np.zeros((bs, s, s, 3), db0["images"].dtype)
                 _discard = self._jit_step(db)(self.state, db)
+                # mark the program as compiled so train_one_epoch's steady
+                # timer doesn't treat its first real occurrence as a compile
+                # step and compile_programs reflects actual compiles
+                self._seen_programs.add((db["images"].shape, "dn" in db))
                 n += 1
             jax.block_until_ready(_discard)
         self.log(f"prewarmed {n} multi-scale train-step programs "

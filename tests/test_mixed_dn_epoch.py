@@ -108,6 +108,13 @@ def test_multiscale_epoch_timer_and_prewarm():
     assert np.isfinite(out["loss_total"])
     # both scale programs were encountered and tracked
     assert out["compile_programs"] == 2.0
-    # timing exists and excluded the per-scale first steps: 6 steps, 2 fresh
-    # -> 4 steady steps
+    # prewarm marked both scale programs as seen, so the only fresh steps are
+    # 0 and 1 (the eager metric stack/accum jits compiling on first use):
+    # 6 steps, 2 fresh -> 4 steady steps, including the mid-epoch 64->96
+    # scale switch at step 3
     assert "step_ms" in out and out["step_ms"] > 0
+    assert out["steady_steps"] == 4.0
+
+    # epoch 2: accum jits are warm, every program compiled -> zero exclusions
+    out2 = trainer.train_one_epoch(1, nan_check_freq=0)
+    assert out2["steady_steps"] == 6.0
