@@ -83,6 +83,10 @@ TORCH_ONLY = os.environ.get("RACE_TORCH_ONLY", "0") == "1"  # calibration mode
 # drift is trajectory chaos (matcher assignment flips compounding), not a
 # fidelity bug.
 SEED_JITTER = float(os.environ.get("RACE_SEED_JITTER", "0"))
+# Synced MultiStep LR decay (x0.1 at this epoch, both stacks): from-scratch
+# DETR overfit plateaus under constant LR (tools_local_overfit.py recorded
+# the same); the decay sharpens localization for the AP checkpoints.
+DECAY_EPOCH = int(os.environ.get("RACE_DECAY_EPOCH", "0"))
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 OUT = sys.argv[2] if len(sys.argv) > 2 else "RACE_r05.json"
 EVAL_EVERY = int(os.environ.get("RACE_EVAL_EVERY", "0")) or max(EPOCHS // 5, 1)
@@ -197,7 +201,10 @@ if not TORCH_ONLY:
     trainer = Trainer(model, cfg, train_loader=mloader,
                       output_dir="/tmp/race_out", tensorboard=False,
                       lr=LR, backbone_lr=LR,  # single torch param group
-                      clip_max_norm=0.1, milestones=(10**6,),
+                      clip_max_norm=0.1,
+                      # Trainer milestones are epochs (converted to opt
+                      # steps via len(train_loader))
+                      milestones=(DECAY_EPOCH,) if DECAY_EPOCH else (10**6,),
                       matcher_backend="scipy", use_ema=False, n_devices=1,
                       prewarm_scales=False)
     template = jax.eval_shape(
@@ -300,6 +307,11 @@ t_race0 = time.time()
 checkpoint_eval(0)
 step = 0
 for epoch in range(EPOCHS):
+    if DECAY_EPOCH and epoch == DECAY_EPOCH:
+        # torch-side MultiStep decay, synced with the jax Trainer's schedule
+        for g in opt_t.param_groups:
+            g["lr"] *= 0.1
+        print(f"[lr decay x0.1 at epoch {epoch}]", flush=True)
     # re-arm the wedge watchdog: no single epoch (train both sides + eval)
     # should take 30 min; if it does, dump every thread stack and exit
     faulthandler.dump_traceback_later(1800, exit=True)
