@@ -54,7 +54,7 @@ class ModelConfig:
     # deformable-attention gather backend: "gather" (default) or "pallas"
     # (fused Pallas kernel, ops/pallas/msda.py — opt-in: measured 12x slower
     # on this TPU, kept for environments where the measurement favors it)
-    msda_backend: str = "gather"
+    msda_backend: str = "auto"
     use_kan: bool = False
     kan_grid: int = 3
     # experimental energy refinement (reference energy configs)

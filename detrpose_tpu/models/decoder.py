@@ -89,13 +89,26 @@ class MSDeformAttn(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
-    # "gather" (default, ops/ms_deform_attn.py) or "pallas" (fused VMEM kernel,
-    # ops/pallas/msda.py — opt-in: measured slower on this TPU, see pallas_bench)
-    msda_backend: str = "gather"
+    # MSDA compute backend:
+    #   "auto"   (default) — the separable-one-hot Pallas kernel on TPU
+    #            (19.3 ms/call at L eval shapes, slope-measured), the XLA
+    #            gather elsewhere (CPU tests, multichip dryrun).
+    #   "gather" — XLA gather/one-hot dual path (168.7 ms/call on TPU v5e).
+    #   "sep"    — force the separable kernel (ops/pallas/msda_sep.py).
+    #   "pallas" — the older per-query fused kernel (251.7 ms/call; kept as
+    #            a measured reference point, see tools/pallas_bench.py).
+    msda_backend: str = "auto"
     dtype: Any = jnp.float32
 
     def _msda(self, value_levels, loc, aw):
-        if self.msda_backend == "pallas":
+        backend = self.msda_backend
+        if backend == "auto":
+            backend = "sep" if jax.default_backend() == "tpu" else "gather"
+        if backend == "sep":
+            from ..ops.pallas.msda_sep import ms_deform_attn_fast
+
+            return ms_deform_attn_fast(list(value_levels), loc, aw)
+        if backend == "pallas":
             from ..ops.pallas.msda import ms_deform_attn_pallas
 
             return ms_deform_attn_pallas(value_levels, loc, aw)
@@ -292,7 +305,7 @@ class DeformableDecoderLayer(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
-    msda_backend: str = "gather"
+    msda_backend: str = "auto"
     # FastKAN FFN variant (reference: transformer.py:371-385, use_kan configs).
     use_kan: bool = False
     kan_grid: int = 3
@@ -433,7 +446,7 @@ class _DecoderStep(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
-    msda_backend: str = "gather"
+    msda_backend: str = "auto"
     use_kan: bool = False
     kan_grid: int = 3
     dtype: Any = jnp.float32
@@ -557,7 +570,7 @@ class TransformerDecoder(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
-    msda_backend: str = "gather"
+    msda_backend: str = "auto"
     use_kan: bool = False
     kan_grid: int = 3
     remat: bool = False  # jax.checkpoint each decoder layer

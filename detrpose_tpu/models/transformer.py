@@ -68,7 +68,7 @@ class Transformer(nn.Module):
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
-    msda_backend: str = "gather"
+    msda_backend: str = "auto"
     use_kan: bool = False
     kan_grid: int = 3
     remat: bool = False

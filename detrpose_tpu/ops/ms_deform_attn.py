@@ -122,7 +122,35 @@ def ms_deform_attn(
             valid = (xc >= 0) & (xc <= W - 1) & (yc >= 0) & (yc <= H - 1)
             return w * valid.astype(w.dtype)
 
-        if os.environ.get("MSDA_LEVEL_SAMPLER", "corner") == "corner":
+        sampler = os.environ.get("MSDA_LEVEL_SAMPLER", "corner")
+        if sampler == "allheads":
+            # Wide-row gather: one row per (query, point) carrying ALL heads'
+            # channels (nH*dh = 256 lanes = 512 B at bf16), gathered once per
+            # corner per head-index set. TPU gathers are row-count bound at
+            # small widths (the 64 B corner rows of the default path measured
+            # ~42 ms/level-0-call); pulling 8x the bytes per row and slicing
+            # the head's 32 lanes afterwards trades sequential-stream bytes
+            # (cheap at HBM bandwidth) for 8x fewer gather descriptors.
+            vflat = v.reshape(B, H * W, nH * d_head)
+
+            def tap_ah(xc, yc, w):
+                xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+                yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+                idx = (yi * W + xi).transpose(0, 2, 1, 3).reshape(
+                    B, nH, Lq * nP)                       # (B, nH, Lq*nP)
+                wv = corner_weight(xc, yc, w).transpose(0, 2, 1, 3).reshape(
+                    B, nH, Lq * nP)
+                parts = []
+                for h in range(nH):
+                    g = jnp.take_along_axis(
+                        vflat, idx[:, h, :, None], axis=1)   # (B, Lq*nP, 256)
+                    parts.append(g[..., h * d_head:(h + 1) * d_head])
+                g = jnp.stack(parts, axis=1)              # (B, nH, Lq*nP, dh)
+                return g * wv[..., None]
+
+            sampled = (tap_ah(x0, y0, w00) + tap_ah(x0, y1, w01) +
+                       tap_ah(x1, y0, w10) + tap_ah(x1, y1, w11))
+        elif sampler == "corner":
             # Default path: 4 separate row gathers of d_head(=32)-wide rows.
             # The patch path below replaces them with ONE 128-wide-row gather
             # (microbenchmarked ~4x faster per gathered row on the sandbox
