@@ -17,17 +17,22 @@ kernel has NO scalar loops and NO gathers:
   nonzeros (cols x0, x0+1 weighted 1-fx, fx); grid_sample's zeros padding
   is exactly per-axis validity folded into those weights. So per point tile:
 
-    R   (TP, H)      2 vector compares against a row iota      (VPU, cheap)
-    T = R @ V        V as (H, W*dh)                            (MXU)
-    M = T * Cexp     Cexp[p, x*dh+d] = c_x(p)[x]               (VPU)
-    out = M @ Sel    Sel[x*dh+d, d'] = (d == d'), constant     (MXU)
+    R    (TP, H)      hat-function arithmetic on a row iota     (VPU, cheap)
+    T  = R @ V        V as (H, W*dh)                            (MXU)
+    M  = T * Cexp     Cexp[p, x*dh+d] = c_x(p)[x], hat weights  (VPU)
+    out = tree-fold of M's W lane-groups down to dh lanes       (VPU)
 
   and the attention weight rides in R. Everything is (sublane, lane)-shaped
   vector work; the one-hot matrices never touch HBM.
 
-Cost at L eval shapes (B32, nH8, Lq1080, nP4, levels 80/40/20): ~0.8 TFLOP
-of MXU work and ~140 MB of HBM traffic per call — measured 9.2 ms/call vs
-168.7 ms for the XLA gather (tools_local_msda_variants.py on TPU v5e).
+Measured at L eval shapes (B32, nH8, Lq1080, nP4, levels 80/40/20) on TPU
+v5e: 18.2 ms/call vs 168.7 ms for the XLA gather — with the cost split
+pinned by tools_local_msda_ablate.py (grid/IO floor 2.8 ms, +R/stage-1
+matmul -> 4.3 ms, the rest is the stage-2 hat/multiply/fold VPU arithmetic,
+which is op-bound, not bandwidth-bound). Rejected variants, all measured:
+constant-selector output matmul (+10.8 ms: dh=32 of 128 MXU output lanes),
+constant lane-expander input matmul (+3 ms net), grouped jnp.sum (Mosaic
+cannot shape-cast lanes), pltpu.repeat (tile-concat, not interleave).
 
 Training: the op is exposed through a custom_vjp whose backward re-derives
 gradients through the XLA gather path (bit-identical semantics), so the
@@ -51,15 +56,13 @@ except ImportError:  # pragma: no cover
 _TP = 512          # sample points per grid step (= _TP // nP queries)
 
 
-def _kernel(ix_refs, iy_refs, aw_refs, v_refs, sel_refs, o_ref, *,
+def _kernel(ix_refs, iy_refs, aw_refs, v_refs, o_ref, *,
             level_shapes, dh, out_dtype):
     """One (batch, head, point-tile) grid step.
 
     ix/iy/aw_refs: per level (1, 1, 1, TP) f32 — pixel-space sample coords
       (already loc * size - 0.5) and combined attention weight.
     v_refs: per level (1, 1, H, W*dh) value map (bf16).
-    sel_refs: per level (W*dh, dh) bf16 constant column-fold selector
-      Sel[x*dh+d, d'] = (d == d') — passed in so it is not rebuilt per step.
     o_ref: (1, 1, TP, dh) f32 — per-POINT samples (weighted); the caller
       folds the nP points of each query and casts.
     """
@@ -85,14 +88,31 @@ def _kernel(ix_refs, iy_refs, aw_refs, v_refs, sel_refs, o_ref, *,
         T = jnp.dot(R, v_refs[lvl][0, 0],
                     preferred_element_type=jnp.float32)
 
-        # Cexp (TP, W*dh): hat weight of column x broadcast over its dh lanes
+        # Cexp (TP, W*dh): hat weight of column x broadcast over its dh
+        # lanes. Measured alternatives all LOSE: a constant-selector output
+        # matmul 10.8 ms (dh=32 of 128 MXU output lanes), a constant
+        # lane-expander input matmul +3 ms net, pltpu.repeat has tile-concat
+        # (not interleave) semantics, and Mosaic cannot shape-cast lanes for
+        # a grouped jnp.sum. Direct VPU arithmetic at (TP, W*dh) it is.
         cols = (jax.lax.broadcasted_iota(jnp.int32, (_TP, W * dh), 1)
                 // dh).astype(jnp.float32)
         Cexp = jnp.maximum(1.0 - jnp.abs(ix - cols), 0.0)
 
-        # out (TP, dh) = (T * Cexp) @ Sel   (MXU, contraction over W*dh)
-        part = jnp.dot((T * Cexp).astype(jnp.bfloat16), sel_refs[lvl][:],
-                       preferred_element_type=jnp.float32)
+        # out (TP, dh) = sum over x of (T * Cexp) lane-groups. A constant
+        # selector MATMUL here costs 10.8 ms/call (output only dh=32 of 128
+        # MXU lanes, K=W*dh huge) and Mosaic cannot shape-cast lanes for a
+        # grouped jnp.sum — so tree-fold with static lane slices: halve while
+        # even (offsets stay 128-aligned until the tail), then sum the tail
+        # groups. ~2 passes of VPU adds total (tools_local_msda_ablate.py).
+        M = T * Cexp
+        w = W
+        while w % 2 == 0 and w > 1:
+            half = (w // 2) * dh
+            M = M[:, :half] + M[:, half:2 * half]
+            w //= 2
+        part = M[:, :dh]
+        for i in range(1, w):
+            part = part + M[:, i * dh:(i + 1) * dh]
         acc = part if acc is None else acc + part
 
     o_ref[0, 0] = acc.astype(out_dtype)
@@ -145,12 +165,6 @@ def ms_deform_attn_sep(
                    .transpose(0, 3, 1, 2, 4)         # (B, nH, H, W, dh)
                    .reshape(B, nH, H, W * dh).astype(jnp.bfloat16))
 
-    sels = [
-        (jnp.arange(W * dh, dtype=jnp.int32)[:, None] % dh
-         == jnp.arange(dh, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-        for H, W in level_shapes
-    ]
-
     pt_spec = pl.BlockSpec(
         (1, 1, 1, _TP), lambda b, h, t, n_t=n_t: (b, h * n_t + t, 0, 0),
         memory_space=pltpu.VMEM if pltpu is not None else None)
@@ -159,31 +173,26 @@ def ms_deform_attn_sep(
                      memory_space=pltpu.VMEM if pltpu is not None else None)
         for H, W in level_shapes
     ]
-    sel_specs = [
-        pl.BlockSpec((W * dh, dh), lambda b, h, t: (0, 0),
-                     memory_space=pltpu.VMEM if pltpu is not None else None)
-        for H, W in level_shapes
-    ]
 
     kernel = functools.partial(
         _kernel, level_shapes=level_shapes, dh=dh, out_dtype=jnp.float32)
 
     def wrapped(*refs):
-        # refs: nL ix, nL iy, nL aw, nL v, nL sel, out
+        # refs: nL ix, nL iy, nL aw, nL v, out
         k = nL
         kernel(refs[0:k], refs[k:2 * k], refs[2 * k:3 * k],
-               refs[3 * k:4 * k], refs[4 * k:5 * k], refs[5 * k])
+               refs[3 * k:4 * k], refs[4 * k])
 
     out = pl.pallas_call(
         wrapped,
         grid=(B, nH, n_t),
-        in_specs=[pt_spec] * (3 * nL) + v_specs + sel_specs,
+        in_specs=[pt_spec] * (3 * nL) + v_specs,
         out_specs=pl.BlockSpec(
             (1, 1, _TP, dh), lambda b, h, t: (b, h, t, 0),
             memory_space=pltpu.VMEM if pltpu is not None else None),
         out_shape=jax.ShapeDtypeStruct((B, nH, n_t * _TP, dh), jnp.float32),
         interpret=interpret,
-    )(*ixs, *iys, *aws, *vls, *sels)
+    )(*ixs, *iys, *aws, *vls)
 
     # fold the nP points of each query, drop padding, restore layout
     out = out[:, :, :P].reshape(B, nH, Lq, nP, dh).sum(axis=3)
