@@ -51,9 +51,16 @@ class ModelConfig:
     grid_num_points: int = 16
     use_grid_offsets: bool = False
     use_grid_fusion: bool = True
-    # deformable-attention gather backend: "gather" (default) or "pallas"
-    # (fused Pallas kernel, ops/pallas/msda.py — opt-in: measured 12x slower
-    # on this TPU, kept for environments where the measurement favors it)
+    # deformable-attention compute backend — all numbers are round-5
+    # execution-proven scan slopes at L eval shapes (bs32/640) on TPU v5e:
+    #   "auto"   (default) separable-one-hot Pallas kernel on TPU
+    #            (ops/pallas/msda_sep.py, 18.2 ms/call), XLA gather elsewhere
+    #   "gather" XLA gather/one-hot dual path (168.7 ms/call on TPU —
+    #            descriptor-rate bound)
+    #   "sep"    force the separable kernel
+    #   "pallas" old per-query fused kernel (251.7 ms/call — kept as a
+    #            measured reference point; the round-2 "12x slower" note was
+    #            a dispatch-rate artifact, the honest ratio is 1.5x)
     msda_backend: str = "auto"
     use_kan: bool = False
     kan_grid: int = 3
