@@ -68,7 +68,10 @@ def main():
 
     def run_bb_enc(v, img):
         feats = run_backbone(v, img)
-        return model.encoder.apply({"params": v["params"]["encoder"]}, feats, False)
+        enc_vars = {"params": v["params"]["encoder"]}
+        if "encoder" in v.get("batch_stats", {}):
+            enc_vars["batch_stats"] = v["batch_stats"]["encoder"]
+        return model.encoder.apply(enc_vars, feats, False)
 
     def run_full(v, img):
         return model.apply(v, img, train=False)
