@@ -103,7 +103,27 @@ class MSDeformAttn(nn.Module):
     def _msda(self, value_levels, loc, aw):
         backend = self.msda_backend
         if backend == "auto":
-            backend = "sep" if jax.default_backend() == "tpu" else "gather"
+            # The sep kernel is a forward-only win. Under differentiation
+            # keep the checkpoint-policy-tuned gather path: the custom_vjp
+            # would re-derive the gather vjp inside the backward AND detach
+            # the named-save policy anchor — observed: the L bs8 train step
+            # did not finish compiling in 30 min with sep, vs ~2 min with
+            # gather. Detect differentiation by the tracer type at trace
+            # time: grad/vjp trace with an AD tracer (JVPTracer on the
+            # classic path, LinearizeTracer on jax's direct-linearize
+            # path); plain jit eval traces with DynamicJaxprTracer only.
+            from jax.interpreters import ad as _ad
+            from jax._src.interpreters import ad as _ad_priv
+            ad_tracers = tuple(
+                t for t in (getattr(_ad, "JVPTracer", None),
+                            getattr(_ad_priv, "JVPTracer", None),
+                            getattr(_ad_priv, "LinearizeTracer", None))
+                if t is not None)
+            differentiating = any(
+                isinstance(x, ad_tracers)
+                for x in jax.tree.leaves((list(value_levels), loc, aw)))
+            on_tpu = jax.default_backend() == "tpu"
+            backend = "sep" if (on_tpu and not differentiating) else "gather"
         if backend == "sep":
             from ..ops.pallas.msda_sep import ms_deform_attn_fast
 
